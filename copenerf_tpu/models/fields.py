@@ -1,0 +1,401 @@
+"""Field networks as pure-functional (config, params, apply) triples.
+
+Re-implements, with identical math, the five networks of the reference
+(``/root/reference/model/neus_fields.py``):
+
+  * ``SDFNetwork``   (:205-303)  — time-conditioned SDF, IDR geometric init,
+    weight norm, Softplus(beta=100), skip connection.
+  * ``RenderingNetwork`` (:307-374) — IDR-style color head.
+  * ``SingleVarianceNetwork`` (:459-465) — learnable inv_s = exp(10 v).
+  * ``NeRF``          (:378-456) — nerf-pytorch background MLP.
+  * ``MotionNetwork`` (:79-201)  — t -> (angular velocity, linear velocity).
+
+Params are plain nested dicts (pytrees); configs are frozen dataclasses so the
+apply fns are jit-static. SDF spatial gradients are computed in
+``copenerf_tpu/ops/renderer.py`` via forward-mode AD instead of the reference's
+autograd-inside-forward (:291-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .embedder import embed_dim, positional_encoding
+from .mlp import linear_apply, make_linear, softplus
+
+
+# ---------------------------------------------------------------------------
+# SDF network (shared skeleton with MotionNetwork: IDR MLP with skip concat)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SDFConfig:
+    d_in: int = 4
+    d_out: int = 257
+    d_hidden: int = 256
+    n_layers: int = 8
+    skip_in: Tuple[int, ...] = (4,)
+    multires: int = 6
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    inside_outside: bool = False
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        d0 = embed_dim(self.multires, self.d_in) if self.multires > 0 else self.d_in
+        return (d0,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+
+def _idr_layer_dims(cfg, l: int) -> Tuple[int, int]:
+    dims = cfg.dims
+    out_dim = dims[l + 1] - dims[0] if (l + 1) in cfg.skip_in else dims[l + 1]
+    return dims[l], out_dim
+
+
+def sdf_init(key, cfg: SDFConfig) -> dict:
+    """IDR geometric initialization (reference :241-259) + weight norm."""
+    params = {}
+    num_layers = len(cfg.dims)
+    keys = jax.random.split(key, num_layers - 1)
+    for l in range(num_layers - 1):
+        d_in_l, d_out_l = _idr_layer_dims(cfg, l)
+        if not cfg.geometric_init:
+            params[f"lin{l}"] = make_linear(
+                keys[l], d_in_l, d_out_l, cfg.weight_norm, "torch_default")
+            continue
+        if l == num_layers - 2:
+            sign = -1.0 if cfg.inside_outside else 1.0
+            params[f"lin{l}"] = make_linear(
+                keys[l], d_in_l, d_out_l, cfg.weight_norm, "normal",
+                mean=sign * np.sqrt(np.pi) / np.sqrt(d_in_l), std=1e-4,
+                bias_const=-sign * cfg.bias)
+        elif cfg.multires > 0 and l == 0:
+            # Raw (x, y, z, t) channels get the kaiming draw; PE channels zero.
+            p = make_linear(keys[l], d_in_l, d_out_l, cfg.weight_norm, "normal",
+                            std=np.sqrt(2) / np.sqrt(d_out_l),
+                            zero_in_cols=slice(cfg.d_in, None))
+            params[f"lin{l}"] = p
+        elif cfg.multires > 0 and l in cfg.skip_in:
+            # Skip layer: zero the PE part of the concatenated raw input.
+            n_zero = cfg.dims[0] - cfg.d_in
+            params[f"lin{l}"] = make_linear(
+                keys[l], d_in_l, d_out_l, cfg.weight_norm, "normal",
+                std=np.sqrt(2) / np.sqrt(d_out_l),
+                zero_in_cols=slice(d_in_l - n_zero, None))
+        else:
+            params[f"lin{l}"] = make_linear(
+                keys[l], d_in_l, d_out_l, cfg.weight_norm, "normal",
+                std=np.sqrt(2) / np.sqrt(d_out_l))
+    return params
+
+
+def sdf_apply(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) -> (..., 257): sdf value (scale-corrected) + feature vector."""
+    inputs = x * cfg.scale
+    if cfg.multires > 0:
+        inputs = positional_encoding(inputs, cfg.multires)
+    h = inputs
+    num_layers = len(cfg.dims)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    for l in range(num_layers - 1):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
+        h = linear_apply(params[f"lin{l}"], h)
+        if l < num_layers - 2:
+            h = softplus(h, beta=100.0)
+    return jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
+
+
+def sdf_value(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return sdf_apply(cfg, params, x)[..., :1]
+
+
+def sdf_with_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
+    """Return (sdf+feature, d(sdf)/dx) for (..., 4) inputs via forward-mode AD.
+
+    Replaces the reference's ``torch.autograd.grad(create_graph=True)`` inside
+    forward (:291-303). The 4 jvp tangents are batched with vmap, so the
+    whole Jacobian costs ~4 extra fused forward passes and supports
+    second-order AD (eikonal loss) for free.
+    """
+    def f(p):
+        return sdf_apply(cfg, params, p)
+
+    out = f(x)
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+
+    def jvp_one(tangent_dir):
+        t = jnp.broadcast_to(tangent_dir, x.shape)
+        return jax.jvp(lambda p: sdf_apply(cfg, params, p)[..., 0], (x,), (t,))[1]
+
+    grads = jax.vmap(jvp_one, out_axes=-1)(eye)  # (..., 4)
+    return out, grads
+
+
+# ---------------------------------------------------------------------------
+# Motion network: t -> (omega, v)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    d_in: int = 1
+    d_out: int = 6
+    d_hidden: int = 256
+    n_layers: int = 4
+    skip_in: Tuple[int, ...] = (2,)
+    multires: int = 6
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = False
+    weight_norm: bool = True
+    inside_outside: bool = False
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        d0 = embed_dim(self.multires, self.d_in) if self.multires > 0 else self.d_in
+        return (d0,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+
+def motion_init(key, cfg: MotionConfig) -> dict:
+    """Default (non-geometric) init per the reference config
+    (``motion_network.geometric_init: False``)."""
+    params = {}
+    num_layers = len(cfg.dims)
+    keys = jax.random.split(key, num_layers - 1)
+    for l in range(num_layers - 1):
+        d_in_l, d_out_l = _idr_layer_dims(cfg, l)
+        params[f"lin{l}"] = make_linear(
+            keys[l], d_in_l, d_out_l, cfg.weight_norm, "torch_default")
+    return params
+
+
+def motion_apply(cfg: MotionConfig, params: dict, t: jnp.ndarray):
+    """(..., 1) time -> ((..., 3) angular velocity, (..., 3) velocity).
+
+    Note: unlike the SDF net, the *input* is not scaled; the *output* is
+    (reference :185-201).
+    """
+    inputs = t
+    if cfg.multires > 0:
+        inputs = positional_encoding(inputs, cfg.multires)
+    h = inputs
+    num_layers = len(cfg.dims)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    for l in range(num_layers - 1):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
+        h = linear_apply(params[f"lin{l}"], h)
+        if l < num_layers - 2:
+            h = jax.nn.leaky_relu(h, negative_slope=0.2)
+    h = h * cfg.scale
+    return h[..., :3], h[..., 3:]
+
+
+# ---------------------------------------------------------------------------
+# Rendering (color) network
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ColorConfig:
+    d_feature: int = 256
+    mode: str = "idr"
+    d_in: int = 11
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 4
+    weight_norm: bool = True
+    multires_view: int = 4
+    squeeze_out: bool = True
+    use_negative_ray_vector: bool = False
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        d0 = self.d_in + self.d_feature
+        if self.multires_view > 0:
+            d0 += embed_dim(self.multires_view, 3) - 3
+        return (d0,) + (self.d_hidden,) * self.n_layers + (self.d_out,)
+
+
+def color_init(key, cfg: ColorConfig) -> dict:
+    params = {}
+    dims = cfg.dims
+    keys = jax.random.split(key, len(dims) - 1)
+    for l in range(len(dims) - 1):
+        params[f"lin{l}"] = make_linear(
+            keys[l], dims[l], dims[l + 1], cfg.weight_norm, "torch_default")
+    return params
+
+
+def color_apply(cfg: ColorConfig, params: dict, points, normals, view_dirs,
+                feature_vectors) -> jnp.ndarray:
+    """points=(...,4) pts_time, normals=(...,4) [n, sdf_flow], dirs=(...,3)."""
+    if cfg.use_negative_ray_vector:
+        view_dirs = -view_dirs
+        normals = -normals
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+    if cfg.mode == "idr":
+        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], -1)
+    elif cfg.mode == "no_view_dir":
+        h = jnp.concatenate([points, normals, feature_vectors], -1)
+    elif cfg.mode == "no_normal":
+        h = jnp.concatenate([points, view_dirs, feature_vectors], -1)
+    else:
+        raise ValueError(cfg.mode)
+    num_layers = len(cfg.dims)
+    for l in range(num_layers - 1):
+        h = linear_apply(params[f"lin{l}"], h)
+        if l < num_layers - 2:
+            h = jax.nn.relu(h)
+    if cfg.squeeze_out:
+        h = jax.nn.sigmoid(h)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Deviation (single-variance) network
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class VarianceConfig:
+    init_val: float = 0.3
+
+
+def variance_init(cfg: VarianceConfig) -> dict:
+    return {"variance": jnp.asarray(cfg.init_val, jnp.float32)}
+
+
+def variance_inv_s(params: dict) -> jnp.ndarray:
+    """inv_s = exp(10 v); callers clip to [1e-3, 1e3] at the use site
+    (reference ``model/neus_renderer.py:360``)."""
+    return jnp.exp(params["variance"] * 10.0)
+
+
+# ---------------------------------------------------------------------------
+# Background NeRF (nerf-pytorch MLP)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NerfConfig:
+    D: int = 8
+    W: int = 256
+    d_in: int = 4
+    d_in_view: int = 3
+    multires: int = 10
+    multires_view: int = 4
+    output_ch: int = 4
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+
+    @property
+    def input_ch(self) -> int:
+        return embed_dim(self.multires, self.d_in) if self.multires > 0 else 3
+
+    @property
+    def input_ch_view(self) -> int:
+        return (embed_dim(self.multires_view, self.d_in_view)
+                if self.multires_view > 0 else 3)
+
+
+def nerf_init(key, cfg: NerfConfig) -> dict:
+    params = {}
+    n_keys = cfg.D + 4
+    keys = jax.random.split(key, n_keys)
+    d_prev = cfg.input_ch
+    for i in range(cfg.D):
+        params[f"pts{i}"] = make_linear(keys[i], d_prev, cfg.W, False,
+                                        "torch_default")
+        # nerf-pytorch concatenates [input_pts, h] AFTER layer i in skips.
+        d_prev = cfg.W + cfg.input_ch if i in cfg.skips else cfg.W
+    params["views0"] = make_linear(keys[cfg.D], cfg.input_ch_view + cfg.W,
+                                   cfg.W // 2, False, "torch_default")
+    params["feature"] = make_linear(keys[cfg.D + 1], cfg.W, cfg.W, False,
+                                    "torch_default")
+    params["alpha"] = make_linear(keys[cfg.D + 2], cfg.W, 1, False,
+                                  "torch_default")
+    params["rgb"] = make_linear(keys[cfg.D + 3], cfg.W // 2, 3, False,
+                                "torch_default")
+    return params
+
+
+def nerf_apply(cfg: NerfConfig, params: dict, input_pts, input_views):
+    """(..., d_in) points, (..., 3) dirs -> (alpha (...,1), rgb (...,3))."""
+    if cfg.multires > 0:
+        input_pts = positional_encoding(input_pts, cfg.multires)
+    if cfg.multires_view > 0:
+        input_views = positional_encoding(input_views, cfg.multires_view)
+    h = input_pts
+    for i in range(cfg.D):
+        h = jax.nn.relu(linear_apply(params[f"pts{i}"], h))
+        if i in cfg.skips:
+            h = jnp.concatenate([input_pts, h], axis=-1)
+    if not cfg.use_viewdirs:
+        raise NotImplementedError("reference asserts use_viewdirs")
+    alpha = linear_apply(params["alpha"], h)
+    feature = linear_apply(params["feature"], h)
+    h = jnp.concatenate([feature, input_views], axis=-1)
+    h = jax.nn.relu(linear_apply(params["views0"], h))
+    rgb = linear_apply(params["rgb"], h)
+    return alpha, rgb
+
+
+# ---------------------------------------------------------------------------
+# Config constructors from the YAML dicts
+# ---------------------------------------------------------------------------
+
+def configs_from_cfg(cfg: dict):
+    """Build all field configs from a merged YAML config dict."""
+    def _tup(x):
+        return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+    sdf_c = cfg["neus_sdf_network"]
+    mot_c = cfg["motion_network"]
+    col_c = cfg["neus_rendering_network"]
+    nerf_c = cfg["neus_nerf"]
+    var_c = cfg["neus_variance_network"]
+    return {
+        "sdf": SDFConfig(
+            d_in=sdf_c["d_in"], d_out=sdf_c["d_out"], d_hidden=sdf_c["d_hidden"],
+            n_layers=sdf_c["n_layers"], skip_in=_tup(sdf_c["skip_in"]),
+            multires=sdf_c["multires"], bias=sdf_c["bias"], scale=sdf_c["scale"],
+            geometric_init=sdf_c["geometric_init"],
+            weight_norm=sdf_c["weight_norm"]),
+        "motion": MotionConfig(
+            d_in=mot_c["d_in"], d_out=mot_c["d_out"], d_hidden=mot_c["d_hidden"],
+            n_layers=mot_c["n_layers"], skip_in=_tup(mot_c["skip_in"]),
+            multires=mot_c["multires"], bias=mot_c["bias"], scale=mot_c["scale"],
+            geometric_init=mot_c["geometric_init"],
+            weight_norm=mot_c["weight_norm"]),
+        "color": ColorConfig(
+            d_feature=col_c["d_feature"], mode=col_c["mode"], d_in=col_c["d_in"],
+            d_out=col_c["d_out"], d_hidden=col_c["d_hidden"],
+            n_layers=col_c["n_layers"], weight_norm=col_c["weight_norm"],
+            multires_view=col_c["multires_view"],
+            squeeze_out=col_c["squeeze_out"],
+            use_negative_ray_vector=col_c["use_negative_ray_vector"]),
+        "nerf": NerfConfig(
+            D=nerf_c["D"], W=nerf_c["W"], d_in=nerf_c["d_in"],
+            d_in_view=nerf_c["d_in_view"], multires=nerf_c["multires"],
+            multires_view=nerf_c["multires_view"],
+            output_ch=nerf_c["output_ch"], skips=_tup(nerf_c["skips"]),
+            use_viewdirs=nerf_c["use_viewdirs"]),
+        "variance": VarianceConfig(init_val=var_c["init_val"]),
+    }
+
+
+def init_all_fields(key, configs: dict) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "sdf": sdf_init(k1, configs["sdf"]),
+        "motion": motion_init(k2, configs["motion"]),
+        "color": color_init(k3, configs["color"]),
+        "nerf": nerf_init(k4, configs["nerf"]),
+        "variance": variance_init(configs["variance"]),
+    }
