@@ -1,0 +1,98 @@
+"""Host-side learning-rate and loss-weight schedules.
+
+Scalar schedules are computed on the host each step/epoch and fed into the
+jitted train step as traced scalars — mirroring the reference's imperative
+schedule handling (``train.py:116-123, 246-271, 341-368, 410-413``) without
+recompiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def multistep_lr(base_lr: float, epoch: int, scheduling_start: int,
+                 scheduling_epoch: int, gamma: float, step: int = 10) -> float:
+    """MultiStepLR with milestones range(start, start + total, step)
+    (reference train.py:118-123). ``epoch`` is the number of completed
+    ``scheduler.step()`` calls (== current epoch index)."""
+    if epoch < scheduling_start:
+        return base_lr
+    n = len(range(scheduling_start, scheduling_epoch + scheduling_start, step))
+    hit = sum(1 for m in range(scheduling_start,
+                               scheduling_epoch + scheduling_start, step)
+              if m <= epoch)
+    del n
+    return base_lr * gamma ** hit
+
+
+def warmup_factor(it: int, nb_warm_up_it: int) -> float:
+    """Linear warmup factor over the first ``nb_warm_up_it`` iterations
+    (reference ``neus_warmup_learning_rate``, train.py:265-271)."""
+    if nb_warm_up_it <= 0:
+        return 1.0
+    return float(np.clip(it / nb_warm_up_it, 0.0, 1.0))
+
+
+def scalar_annealing(it: float, start_anneal: float, end_anneal: float,
+                     start_weight: float, end_weight: float) -> float:
+    """Linear annealing (reference train.py:246-249)."""
+    it = np.clip(it, start_anneal, end_anneal)
+    frac = np.clip((it - start_anneal) / (end_anneal - start_anneal + 1e-10),
+                   0.0, 1.0)
+    return float(start_weight + (end_weight - start_weight) * frac)
+
+
+def cos_anneal_ratio(it: int, anneal_end: float) -> float:
+    """NeuS cos annealing (reference model/training.py:120-124)."""
+    if anneal_end == 0.0:
+        return 1.0
+    return float(min(1.0, it / anneal_end))
+
+
+class LRState:
+    """Tracks the effective learning rates across stage resets, warmup, drops
+    and MultiStepLR decay — replicating the mutation order of the reference
+    trainer: lr_drop_half (:345-352), stage-2 reset (:360-368), warmup
+    (:410-413), scheduler.step() per epoch (:559-560)."""
+
+    def __init__(self, cfg_training: dict):
+        self.base_lr = cfg_training["learning_rate"]
+        self.base_motion_lr = cfg_training["pose_learning_rate"]
+        self.gamma = cfg_training["scheduler_gamma"]
+        self.motion_gamma = cfg_training["motion_scheduler_gamma"]
+        self.scheduling_start = cfg_training["scheduling_start"]
+        self.scheduling_epoch = cfg_training["scheduling_epoch"]
+        self.warm_up_it = cfg_training["nb_warm_up_it"]
+        self.lr_drop_half_epoch = list(cfg_training.get("lr_drop_half_epoch",
+                                                        []) or [])
+        # Current pre-schedule bases (mutated by drops / stage resets).
+        self.cur_lr = self.base_lr
+        self.cur_motion_lr = self.base_motion_lr
+        self.decay_steps = 0  # milestones already applied
+
+    def on_epoch_start(self, epoch: int, stage2_starts_now: bool):
+        if epoch in self.lr_drop_half_epoch:
+            self.cur_lr /= 2.0
+            self.cur_motion_lr /= 2.0
+        if stage2_starts_now:
+            # Stage-2 transition resets field lr and freezes motion lr.
+            self.cur_lr = self.base_lr
+            self.cur_motion_lr = 0.0
+            self.decay_steps = 0
+
+    def on_epoch_end(self, epoch: int):
+        milestones = range(self.scheduling_start,
+                           self.scheduling_epoch + self.scheduling_start, 10)
+        if epoch in milestones:
+            self.decay_steps += 1
+
+    def lrs(self, it: int):
+        if 0 <= it <= self.warm_up_it:
+            # The reference overwrites the optimizer lr with base_lr * factor
+            # during warmup (train.py:265-271), ignoring decay/drops.
+            lr = self.base_lr * warmup_factor(it, self.warm_up_it)
+        else:
+            lr = self.cur_lr * (self.gamma ** self.decay_steps)
+        motion_lr = self.cur_motion_lr * (self.motion_gamma ** self.decay_steps)
+        return lr, motion_lr

@@ -44,3 +44,16 @@ def add_reference_to_path():
         stub = types.ModuleType("model")
         stub.__path__ = [os.path.join(REFERENCE_ROOT, "model")]
         sys.modules["model"] = stub
+    # Stub third-party deps of the reference absent from this image.
+    if "mcubes" not in sys.modules:
+        mcubes = types.ModuleType("mcubes")
+
+        def _mc_unavailable(*a, **k):
+            raise RuntimeError("mcubes unavailable in test env")
+
+        mcubes.marching_cubes = _mc_unavailable
+        sys.modules["mcubes"] = mcubes
+    if "icecream" not in sys.modules:
+        icecream = types.ModuleType("icecream")
+        icecream.ic = lambda *a, **k: None
+        sys.modules["icecream"] = icecream

@@ -1,0 +1,200 @@
+"""Golden parity of the full render pass against the PyTorch reference.
+
+The reference renderer hardcodes .cuda() everywhere; tests monkeypatch
+``torch.Tensor.cuda`` to identity so the oracle runs on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import conftest
+
+pytestmark = pytest.mark.skipif(not conftest.has_reference(),
+                                reason="reference repo not available")
+
+conftest.add_reference_to_path()
+
+import torch  # noqa: E402
+
+torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+torch.manual_seed(0)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from copenerf_tpu.models import (ColorConfig, MotionConfig, NerfConfig,  # noqa: E402
+                                 SDFConfig, VarianceConfig)
+from copenerf_tpu.models.torch_io import (color_params_from_torch,  # noqa: E402
+                                          motion_params_from_torch,
+                                          nerf_params_from_torch,
+                                          sdf_params_from_torch,
+                                          variance_params_from_torch)
+from copenerf_tpu.ops.renderer import RendererConfig, render  # noqa: E402
+from copenerf_tpu.ops.sampling import sample_pdf, up_sample  # noqa: E402
+
+
+def _build_reference_renderer():
+    from model.neus_fields import (NeRF, MotionNetwork, RenderingNetwork,
+                                   SDFNetwork, SingleVarianceNetwork)
+    from model.neus_renderer import NeuSRenderer
+
+    nerf = NeRF(D=8, W=256, d_in=4, d_in_view=3, multires=10, multires_view=4,
+                output_ch=4, skips=[4], use_viewdirs=True)
+    sdf = SDFNetwork(d_out=257, d_in=4, d_hidden=256, n_layers=8, skip_in=(4,),
+                     multires=6, bias=0.5, scale=1.0, geometric_init=True,
+                     weight_norm=True)
+    sdf.load_state_dict(torch.load("/root/reference/pretrained_sdf/model.pt",
+                                   map_location="cpu"))
+    motion = MotionNetwork(d_out=6, d_in=1, d_hidden=256, n_layers=4,
+                           skip_in=[2], multires=6, bias=0.5, scale=1.0,
+                           geometric_init=False, weight_norm=True)
+    dev = SingleVarianceNetwork(0.3)
+    color = RenderingNetwork(d_feature=256, mode="idr", d_in=11, d_out=3,
+                             d_hidden=256, n_layers=4, weight_norm=True,
+                             multires_view=4, squeeze_out=True,
+                             use_negative_ray_vector=False)
+    renderer = NeuSRenderer(nerf, sdf, dev, color, motion, n_samples=64,
+                            n_importance=64, n_outside=0, up_sample_steps=4,
+                            perturb=1.0, n_max_network_queries=64000,
+                            importance_sampling_start=0, naive_render=False)
+    return renderer
+
+
+def _ingest(renderer):
+    def sd(m):
+        return m.state_dict()
+
+    return {
+        "sdf": sdf_params_from_torch(sd(renderer.sdf_network)),
+        "color": color_params_from_torch(sd(renderer.color_network)),
+        "motion": motion_params_from_torch(sd(renderer.motion_network)),
+        "variance": variance_params_from_torch(sd(renderer.deviation_network)),
+        "nerf": nerf_params_from_torch(sd(renderer.nerf)),
+    }
+
+
+FIELD_CFGS = {"sdf": SDFConfig(), "color": ColorConfig(),
+              "motion": MotionConfig(), "variance": VarianceConfig(),
+              "nerf": NerfConfig()}
+
+
+def _rand_rays(n, seed=0):
+    rng = np.random.RandomState(seed)
+    rays_o = rng.randn(n, 3).astype(np.float32) * 0.1 + np.array(
+        [0, 0, 2], np.float32)
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    rays_d[:, 2] -= 2.0
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    norm = rng.rand(n, 1).astype(np.float32) + 1.0
+    return rays_o, rays_d, norm
+
+
+def test_sample_pdf_parity():
+    from model.neus_renderer import sample_pdf as ref_sample_pdf
+
+    rng = np.random.RandomState(0)
+    bins = np.sort(rng.rand(16, 64).astype(np.float32) * 5, axis=-1)
+    weights = rng.rand(16, 63).astype(np.float32)
+    ref = ref_sample_pdf(torch.from_numpy(bins), torch.from_numpy(weights),
+                         16, det=True).numpy()
+    ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 16))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_up_sample_parity():
+    renderer = _build_reference_renderer()
+    rng = np.random.RandomState(1)
+    rays_o, rays_d, _ = _rand_rays(8, 1)
+    z_vals = np.sort(rng.rand(8, 64).astype(np.float32) * 4 + 0.01, axis=-1)
+    sdf = (rng.randn(8, 64) * 0.3).astype(np.float32)
+    ref = renderer.up_sample(torch.from_numpy(rays_o),
+                             torch.from_numpy(rays_d),
+                             torch.from_numpy(z_vals),
+                             torch.from_numpy(sdf), 16, 64).numpy()
+    ours = np.asarray(up_sample(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                jnp.asarray(z_vals), jnp.asarray(sdf), 16,
+                                64.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_full_render_eval_parity():
+    renderer = _build_reference_renderer()
+    params = _ingest(renderer)
+    n = 16
+    rays_o, rays_d, norm = _rand_rays(n, 2)
+    near = np.full((n, 1), 0.01, np.float32)
+    far = np.full((n, 1), 5.0, np.float32)
+    time_step = np.asarray([0.3], np.float32)
+
+    with torch.no_grad():
+        ref = renderer(torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+                       torch.from_numpy(norm), torch.from_numpy(time_step),
+                       torch.from_numpy(near), torch.from_numpy(far),
+                       background_rgb=None, cos_anneal_ratio=0.7, it=100,
+                       eval=True)
+
+    out = render(FIELD_CFGS, params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                 jnp.asarray(norm), jnp.asarray(time_step[0]),
+                 jnp.asarray(near), jnp.asarray(far),
+                 rcfg=RendererConfig(), cos_anneal_ratio=0.7,
+                 use_importance=True, train=False)
+
+    np.testing.assert_allclose(np.asarray(out["color_fine"]),
+                               ref["color_fine"].numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["depth_pred"]),
+                               ref["depth_pred"].numpy(), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["weights"]),
+                               ref["weights"].numpy(), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["sdf"]),
+                               ref["sdf"].numpy().reshape(n, 128), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["normals"]),
+                               ref["normals"].detach().numpy(), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_full_render_train_parity_fixed_noise():
+    """Train path with identical stratified jitter injected on both sides."""
+    renderer = _build_reference_renderer()
+    params = _ingest(renderer)
+    n = 8
+    rays_o, rays_d, norm = _rand_rays(n, 3)
+    near = np.full((n, 1), 0.01, np.float32)
+    far = np.full((n, 1), 5.0, np.float32)
+    time_step = np.asarray([-0.2], np.float32)
+    t_rand = np.random.RandomState(4).rand(n, 64).astype(np.float32)
+
+    torch_rand = torch.rand
+
+    def fake_rand(*shape, **kw):
+        if tuple(shape[0] if isinstance(shape[0], (list, tuple))
+                 else shape) == (n, 64):
+            return torch.from_numpy(t_rand)
+        return torch_rand(*shape, **kw)
+
+    torch.rand = fake_rand
+    try:
+        with torch.no_grad():
+            ref = renderer(torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+                           torch.from_numpy(norm),
+                           torch.from_numpy(time_step),
+                           torch.from_numpy(near), torch.from_numpy(far),
+                           background_rgb=None, cos_anneal_ratio=0.3, it=10,
+                           eval=False)
+    finally:
+        torch.rand = torch_rand
+
+    out = render(FIELD_CFGS, params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                 jnp.asarray(norm), jnp.asarray(time_step[0]),
+                 jnp.asarray(near), jnp.asarray(far),
+                 rcfg=RendererConfig(), cos_anneal_ratio=0.3,
+                 use_importance=True, train=True, t_rand=jnp.asarray(t_rand))
+
+    np.testing.assert_allclose(np.asarray(out["color_fine"]),
+                               ref["color_fine"].numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["depth_pred"]),
+                               ref["depth_pred"].numpy(), rtol=1e-3,
+                               atol=1e-3)

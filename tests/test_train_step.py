@@ -1,0 +1,126 @@
+"""Smoke + behavior tests of the jitted train step on a tiny synthetic setup."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (sets cpu platform)
+
+import jax
+import jax.numpy as jnp
+
+from copenerf_tpu.models import (ColorConfig, MotionConfig, NerfConfig,
+                                 SDFConfig, VarianceConfig, init_all_fields)
+from copenerf_tpu.ops.renderer import RendererConfig
+from copenerf_tpu.training.step import (StepStatic, build_train_step,
+                                        init_train_state, make_loss_weights,
+                                        sample_patch_indices)
+
+H = W = 24
+FIELD_CFGS = {
+    # d_hidden must exceed the 52-dim positional embedding for the skip layer.
+    "sdf": SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), d_out=33),
+    "color": ColorConfig(d_feature=32, d_hidden=32, n_layers=2),
+    "motion": MotionConfig(d_hidden=32, n_layers=2, skip_in=(1,)),
+    "variance": VarianceConfig(init_val=0.3),
+    "nerf": NerfConfig(D=2, W=32),
+}
+RCFG = RendererConfig(n_samples=16, n_importance=16, up_sample_steps=2)
+
+
+def _camera_mat():
+    fx = fy = 30.0
+    return np.array([[2 * fx / W, 0, 0, 0], [0, -2 * fy / H, 0, 0],
+                     [0, 0, -1, 0], [0, 0, 0, 1]], np.float32)
+
+
+def _batch(key, stage1=True):
+    rng = np.random.RandomState(0)
+    n_ref = 3
+    return {
+        "image": jnp.asarray(rng.rand(3, H, W).astype(np.float32)),
+        "ref_images": jnp.asarray(rng.rand(n_ref, 3, H, W).astype(np.float32)),
+        "ref_idxs": jnp.asarray([3, 4, 5], jnp.int32),
+        "ref_in_list": jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
+        "ref_valid_flow": jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+        "camera_mat": jnp.asarray(_camera_mat()),
+        "ref_camera_mats": jnp.asarray(np.stack([_camera_mat()] * n_ref)),
+        "scale_mat": jnp.eye(4),
+        "world_mat": jnp.eye(4),
+        "query_time_step": jnp.asarray(-0.2),
+        "world_time_step": jnp.asarray(0.0),
+        "image_idx": jnp.asarray(2, jnp.int32),
+        "world_cam_idx": jnp.asarray(3, jnp.int32),
+        "near": jnp.asarray(0.5),
+        "far": jnp.asarray(3.5),
+        "cos_anneal_ratio": jnp.asarray(0.5),
+        "loss_weights": make_loss_weights(1.0, 0.1, 0.1, 7.5, 0.1, 1.0,
+                                          1e-4),
+        "lr": jnp.asarray(1e-3),
+        "motion_lr": jnp.asarray(5e-4),
+    }
+
+
+def _static(stage1=True, train_motion=True):
+    return StepStatic(h=H, w=W, patch_size=4, n_points=64, stage1=stage1,
+                      n_images=7, nb_sample_timestep=4, n_ref=3,
+                      train_motion=train_motion, sdf_cons_pose_grad=False,
+                      use_flow_rgb=stage1, use_sdf_consistency=stage1)
+
+
+def test_sample_patch_indices_shape_and_validity():
+    idx = np.asarray(sample_patch_indices(jax.random.PRNGKey(0), H, W, 4, 64))
+    assert idx.shape == (64,)
+    assert idx.min() >= 0 and idx.max() < H * W
+    # Each patch spans 4 consecutive cols over 4 consecutive rows.
+    patch = idx.reshape(4, 16)[0]
+    rows, cols = patch // W, patch % W
+    assert rows.max() - rows.min() == 3
+    assert cols.max() - cols.min() == 3
+
+
+def test_stage1_step_runs_and_descends():
+    params = init_all_fields(jax.random.PRNGKey(0), FIELD_CFGS)
+    state = init_train_state(params)
+    step = build_train_step(FIELD_CFGS, RCFG, _static(stage1=True))
+    batch = _batch(jax.random.PRNGKey(1))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses)), losses
+    # Loss should descend on a fixed batch.
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    for k in ("loss_rgb", "loss_sdf", "loss_flow_rgb",
+              "sdf_consistency_loss", "edge_aware_smoothness_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_stage2_step_runs():
+    params = init_all_fields(jax.random.PRNGKey(0), FIELD_CFGS)
+    state = init_train_state(params)
+    step = build_train_step(FIELD_CFGS, RCFG,
+                            _static(stage1=False, train_motion=False))
+    batch = _batch(jax.random.PRNGKey(1), stage1=False)
+    motion_before = jax.tree_util.tree_leaves(state["params"]["motion"])[0]
+    motion_before = np.asarray(motion_before).copy()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss_sdf"]) == 0.0
+    assert float(metrics["loss_flow_rgb"]) == 0.0
+    # Motion net must stay frozen in stage 2.
+    motion_after = np.asarray(
+        jax.tree_util.tree_leaves(state["params"]["motion"])[0])
+    np.testing.assert_array_equal(motion_before, motion_after)
+
+
+def test_nerf_params_never_updated():
+    params = init_all_fields(jax.random.PRNGKey(0), FIELD_CFGS)
+    state = init_train_state(params)
+    step = build_train_step(FIELD_CFGS, RCFG, _static())
+    nerf_before = np.asarray(
+        jax.tree_util.tree_leaves(state["params"]["nerf"])[0]).copy()
+    state, _ = step(state, _batch(jax.random.PRNGKey(1)),
+                    jax.random.PRNGKey(0))
+    nerf_after = np.asarray(
+        jax.tree_util.tree_leaves(state["params"]["nerf"])[0])
+    np.testing.assert_array_equal(nerf_before, nerf_after)
