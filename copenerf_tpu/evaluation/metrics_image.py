@@ -1,0 +1,70 @@
+"""Image metrics: PSNR, SSIM (CF3DGS-compatible), LPIPS (optional).
+
+PSNR/SSIM mirror ``/root/reference/co3d_metric.py`` (stated copied from
+NVlabs/CF-3DGS for comparability): per-image mean over an 11x11 Gaussian
+window (sigma 1.5), same-padding conv. LPIPS requires pretrained VGG weights;
+in this zero-egress environment it is attempted through the optional
+``lpips`` torch package and skipped cleanly when unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) images in [0, 1] -> scalar PSNR (co3d_metric.py:14-16)."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         window_size: int = 11) -> jnp.ndarray:
+    """(C, H, W) -> scalar mean SSIM with per-channel Gaussian filtering and
+    zero same-padding (co3d_metric.py:18-48)."""
+    window = jnp.asarray(_gaussian_window(window_size))
+
+    def conv(img):
+        # (C, H, W), window (k, k); depthwise conv with SAME zero padding.
+        return jax.vmap(lambda ch: jax.lax.conv_general_dilated(
+            ch[None, None], window[None, None], (1, 1), "SAME")[0, 0])(img)
+
+    mu1 = conv(img1)
+    mu2 = conv(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1 = conv(img1 * img1) - mu1_sq
+    sigma2 = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1 + sigma2 + c2))
+    return jnp.mean(ssim_map)
+
+
+def lpips_fn():
+    """Return a callable (img1, img2) -> float LPIPS(vgg), or None when no
+    pretrained backbone is available (zero-egress environment)."""
+    try:
+        import lpips as lpips_lib
+        import torch
+
+        net = lpips_lib.LPIPS(net="vgg")
+
+        def compute(img1, img2):
+            a = torch.from_numpy(np.asarray(img1, np.float32))[None] * 2 - 1
+            b = torch.from_numpy(np.asarray(img2, np.float32))[None] * 2 - 1
+            with torch.no_grad():
+                return float(net(a, b))
+
+        return compute
+    except Exception:
+        return None

@@ -1,0 +1,108 @@
+"""Chunked full-image rendering (visualization, stage-1 extraction, eval).
+
+Replaces the reference's 1024-pixel python chunk loop
+(``/root/reference/model/training.py:210-283``, ``eval.py:133-157``) with a
+fixed-size jitted chunk program reused across all images and views (one
+compile, arbitrary resolutions via padding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.rays import arange_pixels, rays_from_pixels
+from ..ops.renderer import RendererConfig, render
+
+
+class ImageRenderer:
+    """Holds a jitted fixed-chunk renderer for one (field_cfgs, rcfg)."""
+
+    def __init__(self, field_cfgs: dict, rcfg: RendererConfig,
+                 chunk: int = 4096):
+        self.field_cfgs = field_cfgs
+        self.rcfg = rcfg
+        self.chunk = chunk
+
+        @jax.jit
+        def _chunk_fn(params, pixels, camera_mat, world_mat, scale_mat,
+                      time_step, near, far, cos_anneal_ratio):
+            rays_o, rays_d, rays_d_norm = rays_from_pixels(
+                pixels, camera_mat, world_mat, scale_mat)
+            n = rays_o.shape[0]
+            near_v = jnp.full((n, 1), 1.0) * near
+            far_v = jnp.full((n, 1), 1.0) * far
+            out = render(field_cfgs, params, rays_o, rays_d, rays_d_norm,
+                         time_step, near_v, far_v, rcfg=rcfg,
+                         cos_anneal_ratio=cos_anneal_ratio,
+                         use_importance=True, train=False)
+            weights = out["weights"]                       # (N, S)
+            normals = out["normals"]                       # (N, S, 3)
+            normal_w = jnp.sum(normals * weights[..., None], axis=1)
+            # Rotate into the anchor frame; world_mat == I is a no-op, which
+            # matches the reference's conditional (model/training.py:238-243).
+            normal_w = normal_w @ world_mat[:3, :3].T
+            pts = out["sampled_points"]                    # (N, S, 3)
+            pts_t = pts @ world_mat[:3, :3].T + world_mat[:3, 3]
+            max_idx = jnp.argmax(weights, axis=1)
+            pts_max = jnp.take_along_axis(
+                pts_t, max_idx[:, None, None], axis=1)[:, 0]
+            depth_highest = -pts_max[:, 2]
+            return {
+                "color": out["color_fine"],
+                "depth": out["depth_pred"][:, 0],
+                "weighted_z": out["weighted_z_vals"][:, 0],
+                "normal": normal_w,
+                "depth_highest": depth_highest,
+                "weights": weights,
+                "pts": pts,
+            }
+
+        self._chunk_fn = _chunk_fn
+
+    def render_image(self, params, camera_mat, world_mat, scale_mat,
+                     time_step, resolution, depth_range, cos_anneal_ratio,
+                     want_pts: bool = False):
+        """Render a full (h, w) view. Returns a dict of numpy arrays:
+        color (h, w, 3), depth (h, w), weighted_z (h, w), normal (h, w, 3),
+        depth_highest (h, w) [, weights/pts per chunk when ``want_pts``]."""
+        h, w = int(resolution[0]), int(resolution[1])
+        _, pixels = arange_pixels((h, w))
+        n = pixels.shape[0]
+        n_pad = (-n) % self.chunk
+        pixels = np.concatenate(
+            [pixels, np.zeros((n_pad, 2), np.float32)], 0)
+
+        outs = {k: [] for k in
+                ("color", "depth", "weighted_z", "normal", "depth_highest")}
+        extra = {"weights": [], "pts": []} if want_pts else None
+        camera_mat = jnp.asarray(camera_mat)
+        world_mat = jnp.asarray(world_mat)
+        scale_mat = jnp.asarray(scale_mat)
+        for i in range(0, len(pixels), self.chunk):
+            res = self._chunk_fn(
+                params, jnp.asarray(pixels[i:i + self.chunk]), camera_mat,
+                world_mat, scale_mat, jnp.asarray(time_step, jnp.float32),
+                jnp.asarray(depth_range[0], jnp.float32),
+                jnp.asarray(depth_range[1], jnp.float32),
+                jnp.asarray(cos_anneal_ratio, jnp.float32))
+            for k in outs:
+                outs[k].append(np.asarray(res[k]))
+            if want_pts:
+                extra["weights"].append(np.asarray(res["weights"]))
+                extra["pts"].append(np.asarray(res["pts"]))
+
+        result = {}
+        for k, chunks in outs.items():
+            arr = np.concatenate(chunks, 0)[:n]
+            if k in ("color", "normal"):
+                result[k] = arr.reshape(h, w, -1)
+            else:
+                result[k] = arr.reshape(h, w)
+        if want_pts:
+            result["weights_flat"] = np.concatenate(extra["weights"], 0)[:n]
+            result["pts_flat"] = np.concatenate(extra["pts"], 0)[:n]
+        return result

@@ -22,12 +22,23 @@ def vec2skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(r: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (Rodrigues)."""
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (Rodrigues).
+
+    Differentiable at r = 0: the sin(n)/n and (1-cos n)/n^2 coefficients
+    switch to their Taylor expansions below n = 1e-3 with the double-where
+    pattern, so gradients at the origin are exact zeros rather than the
+    NaN/underflow a naive ``jnp.linalg.norm`` formulation produces in f32
+    (the reference relies on torch's norm-at-0 zero-gradient convention when
+    Adam steps zero-initialized pose corrections)."""
     skew = vec2skew(r)
-    norm = jnp.linalg.norm(r, axis=-1)[..., None, None] + 1e-15
+    sq = jnp.sum(r * r, axis=-1)[..., None, None]
+    small = sq < 1e-6
+    safe_n = jnp.sqrt(jnp.where(small, 1.0, sq))
+    coeff_a = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(safe_n) / safe_n)
+    coeff_b = jnp.where(small, 0.5 - sq / 24.0,
+                        (1.0 - jnp.cos(safe_n)) / jnp.where(small, 1.0, sq))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), skew.shape)
-    return (eye + (jnp.sin(norm) / norm) * skew +
-            ((1.0 - jnp.cos(norm)) / norm ** 2) * (skew @ skew))
+    return eye + coeff_a * skew + coeff_b * (skew @ skew)
 
 
 def make_c2w(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

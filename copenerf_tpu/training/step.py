@@ -118,12 +118,15 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
         ray_idx = sample_patch_indices(k_patch, s.h, s.w, s.patch_size,
                                        s.n_points)
         p, p_norm = _pixels_from_indices(ray_idx, s.h, s.w)
-        img_flat = batch["image"].reshape(3, s.h * s.w)
+        # The whole dataset stays device-resident; per-step image selection is
+        # an on-device gather.
+        image = batch["images_all"][batch["image_idx"]]
+        camera_mat = batch["K_all"][batch["image_idx"]]
+        img_flat = image.reshape(3, s.h * s.w)
         rgb_gt = img_flat[:, ray_idx].T                      # (N, 3)
 
         rays_o, rays_d, rays_d_norm = rays_from_pixels(
-            p_norm, batch["camera_mat"], batch["world_mat"],
-            batch["scale_mat"])
+            p_norm, camera_mat, batch["world_mat"], batch["scale_mat"])
         n = rays_o.shape[0]
         near = jnp.full((n, 1), 1.0) * batch["near"]
         far = jnp.full((n, 1), 1.0) * batch["far"]
@@ -197,9 +200,12 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
                         pts_map = pts_r @ w2c_t[:3, :3].T + w2c_t[:3, 3]
                         wpm = jnp.sum(ray_weights * pts_map, axis=1)  # (N,3)
                         proj = (batch["scale_mat"][:3, :3] @
-                                batch["ref_camera_mats"][t][:3, :3])
+                                batch["K_all"][ref_idx][:3, :3])
                         pix = wpm @ proj.T
-                        pix2 = pix[:, :2] / pix[:, 2:]
+                        z = pix[:, 2:]
+                        z_safe = jnp.where(jnp.abs(z) < 1e-8,
+                                           jnp.where(z < 0, -1e-8, 1e-8), z)
+                        pix2 = pix[:, :2] / z_safe
                         flow = pix2 - p_norm
                         flow = flow * jnp.asarray([s.w / 2.0, s.h / 2.0])
                         corr = p + flow
@@ -210,8 +216,8 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
                         valid = (in_bounds.astype(jnp.float32) *
                                  batch["ref_valid_flow"][t])
                         valid = jax.lax.stop_gradient(valid)[:, None]
-                        warped = warp_pixels(batch["ref_images"][t], corr,
-                                             normalize=True)
+                        warped = warp_pixels(batch["images_all"][ref_idx],
+                                             corr, normalize=True)
                         return (jnp.sum(jnp.abs(warped - rgb_gt) * valid) /
                                 (jnp.sum(valid) + 1e-10))
 

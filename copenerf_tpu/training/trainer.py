@@ -1,0 +1,548 @@
+"""Training orchestration: the two-stage epoch loop.
+
+Host-side mirror of the reference driver (``/root/reference/train.py`` class
+``Trainer``): stage detection and the stage-1 -> stage-2 transition
+(:360-399), coarse-to-fine resolution schedule (:273-286, :354-357),
+loss-weight annealing (:246-263), lr warmup/drops/MultiStep decay, pose
+evaluation (:206-220), visualization + adaptive depth range
+(``model/training.py:157-374``), checkpoint/resume (:106-123, :158-167).
+
+All per-iteration compute is the single jitted step from ``step.py``; the
+host loop only assembles scalars and indices.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.fields import get_data_fields
+from ..evaluation.metrics_pose import pose_error_report
+from ..evaluation.render import ImageRenderer
+from ..models.fields import configs_from_cfg, init_all_fields
+from ..models.torch_io import load_pretrained_sdf
+from ..ops.renderer import RendererConfig
+from ..poses.lie import se3_inverse
+from ..poses.motion import full_video_w2c
+from ..poses.retriever import pose_retriever_all, pose_retriever_init
+from .checkpoints import (load_checkpoint, load_pytree, save_checkpoint,
+                          save_pytree)
+from .logging_utils import ScalarLogger
+from .pose_refinement import motion_init_relative_poses, run_pose_refinement
+from .schedules import LRState, cos_anneal_ratio, scalar_annealing
+from .step import (StepStatic, build_train_step, init_train_state,
+                   make_loss_weights)
+
+
+class Trainer:
+    def __init__(self, cfg: dict, verbose: bool = True):
+        self.cfg = cfg
+        tr = cfg["training"]
+        self.tr = tr
+        self.verbose = verbose
+        self.out_dir = tr["out_dir"]
+        os.makedirs(os.path.join(self.out_dir, "models"), exist_ok=True)
+        self.render_path = os.path.join(self.out_dir, "rendering")
+        os.makedirs(self.render_path, exist_ok=True)
+
+        self.seed = tr["seed"]
+        np.random.seed(self.seed)
+        self._base_key = jax.random.PRNGKey(self.seed)
+
+        self.field_cfgs = configs_from_cfg(cfg)
+        self.rcfg = RendererConfig.from_cfg(cfg)
+
+        params = init_all_fields(jax.random.PRNGKey(self.seed),
+                                 self.field_cfgs)
+        sdf_path = tr.get("pretrained_sdf_path")
+        if sdf_path and os.path.isfile(sdf_path):
+            params["sdf"] = load_pretrained_sdf(
+                sdf_path, self.field_cfgs["sdf"].n_layers)
+            self._log("Loaded pretrained SDF warm start")
+
+        # Coarse-to-fine schedule {scale: [start, end]}.
+        self.coarse_to_fine = dict(tr.get("coarse_to_fine_scheduler") or {})
+        if not self.coarse_to_fine:
+            self.coarse_to_fine = {1: [0, int(1e10)]}
+        self.s = 1
+
+        self.original_resolution = list(tr["original_resolution"])
+        self.resolution = list(tr["resolution"])
+        self._build_datasets(self.resolution)
+
+        self.total_nb_images = self.train_field.total_nb_images
+        self.gt_poses = self.train_field.c2ws.astype(np.float32)
+
+        # World camera anchor (reference train.py:85-91).
+        if tr["world_idx"] == "mid":
+            wci = self.total_nb_images // 2
+        else:
+            wci = int(tr["world_idx"])
+        while wci not in self.train_field.i_train:
+            wci -= 1
+        self.world_cam_idx = wci
+        self.world_time_step = wci / (self.total_nb_images - 1) * 2.0 - 1.0
+
+        self.state = init_train_state(params)
+        self.depth_range = list(cfg["rendering"]["depth_range"])
+
+        # Resume.
+        self.epoch_it, self.it = -1, -1
+        try:
+            state, scalars = load_checkpoint(
+                self.out_dir, model_only=tr["load_ckpt_model_only"])
+            # npz storage flattens optax NamedTuple states to plain tuples;
+            # restore the exact pytree structure from a fresh state.
+            fresh = init_train_state(state["params"])
+            leaves = jax.tree_util.tree_leaves(state)
+            self.state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(fresh), leaves)
+            if not tr["load_ckpt_model_only"]:
+                self.epoch_it = int(scalars.get("epoch_it", -1))
+                self.it = int(scalars.get("it", -1))
+                if "depth_range" in scalars:
+                    self.depth_range = list(scalars["depth_range"])
+            self._log("Checkpoint found ==> continue training")
+        except FileNotFoundError:
+            self._log("No checkpoint found ==> train from scratch")
+
+        self.lr_state = LRState(tr)
+        self.logger = ScalarLogger(self.out_dir)
+        self.anneal_end = cfg["neus_training"]["neus_anneal_end"]
+
+        self.patch_size = tr["patch_size"]
+        self.n_ref = len(cfg["dataloading"]["random_ref_interval"])
+        self.nb_sample_timestep = tr["nb_sample_timestep"]
+        self.start_query_world_epoch = tr["start_query_world_epoch"]
+        self.freeze_camera_pose_period = tr["freeze_camera_pose_period"]
+        self.end_smooth_epoch = tr["end_smooth_epoch"]
+        self.scheduling_start = tr["scheduling_start"]
+        self.scheduling_epoch = tr["scheduling_epoch"]
+        self.print_every = tr["print_every"]
+        self.checkpoint_every = tr["checkpoint_every"]
+        self.eval_pose_every = tr["eval_pose_every"]
+
+        # Current loss weights (stage-[0] entries; annealing below mirrors
+        # loss_weight_scalar_annealing, train.py:251-263).
+        self.w_rgb = tr["rgb_weight"][0]
+        self.w_eik = tr["eikonal_weight"][0]
+        self.w_sdf = tr["sdf_weight"][0]
+        self.w_flow_rgb = tr["flow_rgb_weight"][0]
+        self.w_sdf_cons = tr["sdf_consistency_weight"][0]
+        self.w_edge = tr["edge_aware_smoothness_weight"][0]
+        self.w_smooth = tr["smoothness_weight"][0]
+
+        self.image_renderer = ImageRenderer(self.field_cfgs, self.rcfg,
+                                            chunk=4096)
+        self._steps = {}
+        self.query_in_canonical_space = False
+        self.pose_retriever = None  # (params, init_c2w) in stage 2
+
+    # ------------------------------------------------------------------
+    def _log(self, msg):
+        if self.verbose:
+            print(f"[trainer] {msg}")
+
+    def _build_datasets(self, resolution):
+        cfg = dict(self.cfg)
+        cfg["training"] = dict(self.cfg["training"])
+        cfg["training"]["resolution"] = list(resolution)
+        self.cfg["training"]["resolution"] = list(resolution)
+        self.train_field = get_data_fields(cfg, "train")["img"]
+        self.test_field = get_data_fields(cfg, "eval")["img"]
+        self.resolution = list(resolution)
+        self.h, self.w = int(resolution[0]), int(resolution[1])
+        # Device-resident dataset.
+        self.images_all_dev = jnp.asarray(self.train_field.all_imgs)
+        self.K_all_dev = jnp.asarray(self.train_field.K)
+        # Precomputed per-train-view ref masks.
+        m = self.train_field.N_imgs
+        n_ref = len(self.train_field.random_ref_interval)
+        self.ref_idxs = np.zeros((m, n_ref), np.int32)
+        self.ref_in_list = np.zeros((m, n_ref), np.float32)
+        self.ref_valid_flow = np.zeros((m, n_ref), np.float32)
+        for pos, target in enumerate(self.train_field.i_train):
+            _, idxs, in_list, valid, _ = self.train_field.ref_tensors(
+                int(target), n_ref)
+            self.ref_idxs[pos] = idxs
+            self.ref_in_list[pos] = in_list
+            self.ref_valid_flow[pos] = valid
+
+    def _scale_for_epoch(self, epoch):
+        for s, interval in self.coarse_to_fine.items():
+            if interval[0] <= epoch <= interval[1]:
+                return int(s)
+        return int(list(self.coarse_to_fine.keys())[-1])
+
+    def _get_step(self, stage1: bool, train_motion: bool):
+        key = (self.h, self.w, self.patch_size, stage1, train_motion, self.s)
+        if key not in self._steps:
+            static = StepStatic(
+                h=self.h, w=self.w, patch_size=self.patch_size,
+                n_points=self.tr["n_training_points"], stage1=stage1,
+                n_images=self.total_nb_images,
+                nb_sample_timestep=self.nb_sample_timestep,
+                n_ref=self.n_ref, train_motion=train_motion,
+                sdf_cons_pose_grad=self.tr["sdf_consistency_enable_pose_grad"],
+                use_flow_rgb=(sum(self.tr["flow_rgb_weight"]) != 0),
+                use_sdf_consistency=(
+                    sum(self.tr["sdf_consistency_weight"]) != 0),
+                smooth_scale=self.s)
+            self._steps[key] = build_train_step(self.field_cfgs, self.rcfg,
+                                                static)
+        return self._steps[key]
+
+    def time_of(self, idx):
+        return idx / (self.total_nb_images - 1) * 2.0 - 1.0
+
+    # ------------------------------------------------------------------
+    def _anneal_weights(self, it):
+        tr = self.tr
+        if tr["end_consistency_weight_increase_iteration"] != -1:
+            self.w_sdf_cons = scalar_annealing(
+                it, 0.0, tr["end_consistency_weight_increase_iteration"],
+                tr["sdf_consistency_weight"][0],
+                tr["sdf_consistency_weight"][1])
+        if tr["end_sdf_weight_increase_iteration"] != -1:
+            self.w_sdf = scalar_annealing(
+                it, 0.0, tr["end_sdf_weight_increase_iteration"],
+                tr["sdf_weight"][0], tr["sdf_weight"][1])
+
+    def _make_batch(self, pos: int, lr: float, motion_lr: float):
+        target = int(self.train_field.i_train[pos])
+        t = self.time_of(target)
+        if self.query_in_canonical_space:
+            query_t = self.world_time_step
+            if target != self.world_cam_idx and self.pose_retriever:
+                params_r, init_c2w = self.pose_retriever
+                world_mat = np.asarray(
+                    pose_retriever_all(params_r, init_c2w))[pos]
+            else:
+                world_mat = np.eye(4, dtype=np.float32)
+        else:
+            query_t = t
+            world_mat = np.eye(4, dtype=np.float32)
+
+        return {
+            "images_all": self.images_all_dev,
+            "K_all": self.K_all_dev,
+            "ref_idxs": jnp.asarray(self.ref_idxs[pos]),
+            "ref_in_list": jnp.asarray(self.ref_in_list[pos]),
+            "ref_valid_flow": jnp.asarray(self.ref_valid_flow[pos]),
+            "scale_mat": jnp.eye(4),
+            "world_mat": jnp.asarray(world_mat, jnp.float32),
+            "query_time_step": jnp.asarray(query_t, jnp.float32),
+            "world_time_step": jnp.asarray(self.world_time_step, jnp.float32),
+            "image_idx": jnp.asarray(target, jnp.int32),
+            "world_cam_idx": jnp.asarray(self.world_cam_idx, jnp.int32),
+            "near": jnp.asarray(self.depth_range[0], jnp.float32),
+            "far": jnp.asarray(self.depth_range[1], jnp.float32),
+            "cos_anneal_ratio": jnp.asarray(
+                cos_anneal_ratio(self.it, self.anneal_end), jnp.float32),
+            "loss_weights": make_loss_weights(
+                self.w_rgb, self.w_eik, self.w_sdf, self.w_flow_rgb,
+                self.w_sdf_cons, self.w_edge, self.w_smooth),
+            "lr": jnp.asarray(lr, jnp.float32),
+            "motion_lr": jnp.asarray(motion_lr, jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def pose_evaluation(self):
+        """Motion-field pose metrics vs GT on the train split
+        (reference pose_evaluation, train.py:206-220)."""
+        w2c = np.asarray(full_video_w2c(
+            self.field_cfgs["motion"], self.state["params"]["motion"],
+            self.total_nb_images, self.nb_sample_timestep))
+        pred = np.linalg.inv(w2c[self.train_field.i_train])
+        aligned, rpe_t, rpe_r, ate = pose_error_report(pred, self.gt_poses)
+        self.logger.add_scalar("eval_pose/rpe_trans", rpe_t, self.epoch_it)
+        self.logger.add_scalar("eval_pose/rpe_rot", rpe_r, self.epoch_it)
+        self.logger.add_scalar("eval_pose/ate", ate, self.epoch_it)
+        return aligned, rpe_t, rpe_r, ate
+
+    def render_train_views(self, out_subdir="extraction_stage1"):
+        """No-grad render of every train view; depths feed pose refinement
+        (reference render_train_views, train.py:288-305)."""
+        ddir = os.path.join(self.out_dir, out_subdir, "depths")
+        idir = os.path.join(self.out_dir, out_subdir, "images")
+        os.makedirs(ddir, exist_ok=True)
+        os.makedirs(idir, exist_ok=True)
+        depths = []
+        car = cos_anneal_ratio(self.it, self.anneal_end)
+        for pos, target in enumerate(self.train_field.i_train):
+            target = int(target)
+            res = self.image_renderer.render_image(
+                self.state["params"], self.train_field.K[target],
+                np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32),
+                self.time_of(target), (self.h, self.w), self.depth_range,
+                car)
+            depth = res["depth"]
+            depths.append(depth)
+            np.savez(os.path.join(ddir, f"depth_{str(target).zfill(6)}.npz"),
+                     pred=depth)
+            self._save_image(os.path.join(idir, f"{str(target).zfill(6)}.png"),
+                             res["color"])
+        return np.stack(depths)
+
+    @staticmethod
+    def _save_image(path, img01):
+        import cv2
+
+        img = (np.clip(img01, 0, 1) * 255).astype(np.uint8)
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, img)
+
+    # ------------------------------------------------------------------
+    def stage2_transition(self, epoch_it: int):
+        """Switch to canonical-space queries; refine + freeze poses
+        (reference train.py:360-399)."""
+        self.query_in_canonical_space = True
+        self.lr_state.on_epoch_start(epoch_it, stage2_starts_now=True)
+        m = len(self.train_field.i_train)
+
+        if self.tr["do_refine_pose"]:
+            self._log("Rendering train-view depths for pose refinement")
+            depths = self.render_train_views()
+            init_c2w = None
+            if not self.tr["refine_from_scratch"]:
+                init_c2w = motion_init_relative_poses(
+                    self.field_cfgs["motion"],
+                    self.state["params"]["motion"],
+                    self.train_field.i_train, self.total_nb_images,
+                    self.nb_sample_timestep)
+            self._log("Performing pose refinement")
+            pred_poses = run_pose_refinement(
+                self.train_field.imgs, depths,
+                self.train_field.K[self.train_field.i_train][:, :3, :3],
+                init_c2w=init_c2w, lr=self.tr["pose_refine_lr"],
+                epochs=self.tr["pose_refine_epochs"], logger=self.logger,
+                gt_poses=self.gt_poses, pose_error_fn=pose_error_report)
+        else:
+            w2c = np.asarray(full_video_w2c(
+                self.field_cfgs["motion"], self.state["params"]["motion"],
+                self.total_nb_images, self.nb_sample_timestep))
+            pred_poses = np.linalg.inv(w2c[self.train_field.i_train])
+
+        # Re-anchor on the world camera (train.py:395).
+        world_pos = list(self.train_field.i_train).index(self.world_cam_idx)
+        pred_poses = (np.linalg.inv(pred_poses) @
+                      pred_poses[world_pos][None]).astype(np.float32)
+        params_r, init_c2w = pose_retriever_init(m, init_c2w=pred_poses)
+        self.pose_retriever = (params_r, init_c2w)
+        save_pytree(os.path.join(self.out_dir, "models", "refine_pose.npz"),
+                    {"init_c2w": np.asarray(init_c2w)})
+        self._log(f"Start querying in canonical space at epoch {epoch_it}")
+
+    def _load_refine_pose(self):
+        blob = load_pytree(os.path.join(self.out_dir, "models",
+                                        "refine_pose.npz"))
+        m = len(self.train_field.i_train)
+        params_r, _ = pose_retriever_init(m)
+        self.pose_retriever = (params_r, jnp.asarray(blob["init_c2w"]))
+
+    # ------------------------------------------------------------------
+    def visualize(self, pos: int, epoch_it: int):
+        """Periodic visualization + adaptive depth-range update
+        (reference render_visdata, model/training.py:157-374)."""
+        target = int(self.train_field.i_train[pos])
+        vis_res = self.tr["vis_resolution"]
+        if self.query_in_canonical_space and target != self.world_cam_idx:
+            query_t = self.world_time_step
+            if self.pose_retriever is not None:
+                params_r, init_c2w = self.pose_retriever
+                world_mat = np.asarray(
+                    pose_retriever_all(params_r, init_c2w))[pos]
+            else:
+                world_mat = np.eye(4, dtype=np.float32)
+        else:
+            query_t = self.time_of(target)
+            world_mat = np.eye(4, dtype=np.float32)
+
+        res = self.image_renderer.render_image(
+            self.state["params"], self.train_field.K[target], world_mat,
+            np.eye(4, dtype=np.float32), query_t, vis_res, self.depth_range,
+            cos_anneal_ratio(self.it, self.anneal_end))
+
+        out_dir = os.path.join(self.render_path, f"{self.it:04d}_vis")
+        os.makedirs(out_dir, exist_ok=True)
+        disp = 1.0 / np.maximum(res["depth"], 1e-6)
+        disp = disp / max(disp.max(), 1e-6)
+        self._save_image(os.path.join(out_dir, f"{target:04d}_img.png"),
+                         res["color"])
+        self._save_image(os.path.join(out_dir, f"{target:04d}_disparity.png"),
+                         disp)
+        normal_img = np.clip(res["normal"] * 0.5 + 0.5, 0, 1)
+        self._save_image(os.path.join(out_dir, f"{target:04d}_normal.png"),
+                         normal_img)
+        disp_hw = 1.0 / np.maximum(res["depth_highest"], 1e-6)
+        disp_hw = disp_hw / max(disp_hw.max(), 1e-6)
+        self._save_image(
+            os.path.join(out_dir, f"{target:04d}_disparity_highest_weight.png"),
+            disp_hw)
+
+        # Adaptive depth range (model/training.py:339-355).
+        depth_bound_lr = 0.0
+        for mi, milestone in enumerate(
+                self.tr["depth_bound_scheduler_milestones"]):
+            if self.it >= milestone:
+                depth_bound_lr = self.tr["depth_bound_lr"][mi]
+        wz = res["weighted_z"]
+        max_depth = float(wz.max()) * 1.1
+        self.depth_range[1] = (self.depth_range[1] * (1 - depth_bound_lr) +
+                               max_depth * depth_bound_lr)
+        self.logger.add_scalar("stats/depth_running_max", self.depth_range[1],
+                               self.it)
+
+        # Depth metrics against GT during training (model/training.py:357-372).
+        if len(self.train_field.gt_depths) != 0:
+            from .depth_metrics import compute_depth_errors
+
+            gt = self.train_field.gt_depths[target]
+            names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+            errs = compute_depth_errors(gt, res["depth"])
+            for name, val in zip(names, errs):
+                self.logger.add_scalar(f"depth_eval/{name}", val, self.it)
+        return res
+
+    # ------------------------------------------------------------------
+    def prepare_training(self):
+        self.current_epoch = self.epoch_it + 1 if self.epoch_it != -1 else 0
+        self.query_in_canonical_space = (
+            self.current_epoch >= self.start_query_world_epoch)
+        s = self._scale_for_epoch(self.current_epoch)
+        if s != 1 or self.resolution != [self.original_resolution[0] // s,
+                                         self.original_resolution[1] // s]:
+            new_res = [self.original_resolution[0] // s,
+                       self.original_resolution[1] // s]
+            self.s = s
+            self._build_datasets(new_res)
+        if self.current_epoch > self.end_smooth_epoch:
+            self.w_smooth = self.tr["smoothness_weight"][1]
+            self.w_edge = self.tr["edge_aware_smoothness_weight"][1]
+            self.patch_size = 1
+        if self.epoch_it > self.start_query_world_epoch:
+            self._log("Loading pre-computed camera poses")
+            self._load_refine_pose()
+        # Rebuild LR decay count on resume.
+        for e in range(0, self.current_epoch):
+            self.lr_state.on_epoch_end(e)
+        return self.resolution
+
+    def train(self, max_epochs: int | None = None):
+        self.prepare_training()
+        self._log(f"Continue at epoch={self.current_epoch}, it={self.it}; "
+                  f"resolution={self.resolution}; "
+                  f"stage={'2 (world)' if self.query_in_canonical_space else '1 (local)'}")
+
+        end_epoch = self.scheduling_start + self.scheduling_epoch
+        if max_epochs is not None:
+            end_epoch = min(end_epoch, self.current_epoch + max_epochs)
+
+        update_milestones = [v[0] for v in self.coarse_to_fine.values()]
+
+        for epoch_it in range(self.current_epoch, end_epoch):
+            self.epoch_it = epoch_it
+            epoch_losses = defaultdict(list)
+            self.lr_state.on_epoch_start(
+                epoch_it, stage2_starts_now=False)
+
+            if (len(self.coarse_to_fine) >= 2 and
+                    epoch_it in update_milestones):
+                s = self._scale_for_epoch(epoch_it)
+                if s != self.s:
+                    self.s = s
+                    self._build_datasets(
+                        [self.original_resolution[0] // s,
+                         self.original_resolution[1] // s])
+                    self._log(f"Resolution -> {self.resolution}")
+
+            if epoch_it == self.start_query_world_epoch:
+                self.stage2_transition(epoch_it)
+
+            if epoch_it == self.end_smooth_epoch:
+                self.w_smooth = self.tr["smoothness_weight"][1]
+                self.w_edge = self.tr["edge_aware_smoothness_weight"][1]
+                self.patch_size = 1
+                self._log(f"epoch {epoch_it}: smoothness off, patch_size=1")
+
+            freeze_pose = (epoch_it >= self.start_query_world_epoch and
+                           epoch_it <= (self.start_query_world_epoch +
+                                        self.freeze_camera_pose_period))
+            stage1 = not self.query_in_canonical_space
+            step = self._get_step(stage1, train_motion=not freeze_pose)
+
+            perm = np.random.permutation(self.train_field.N_imgs)
+            for pos in perm:
+                self.it += 1
+                self._anneal_weights(self.it)
+                lr, motion_lr = self.lr_state.lrs(self.it)
+                batch = self._make_batch(int(pos), lr, motion_lr)
+                key = jax.random.fold_in(self._base_key, self.it)
+                self.state, metrics = step(self.state, batch, key)
+
+                for k in ("loss", "loss_rgb", "loss_eikonal", "l2_mean",
+                          "loss_sdf", "loss_flow_rgb",
+                          "sdf_consistency_loss",
+                          "edge_aware_smoothness_loss", "smoothness_loss"):
+                    epoch_losses[k].append(metrics[k])
+
+                if self.print_every > 0 and self.it % self.print_every == 0:
+                    for k in ("loss", "loss_rgb", "loss_eikonal",
+                              "loss_sdf", "loss_flow_rgb",
+                              "sdf_consistency_loss"):
+                        self.logger.add_scalar(f"loss/{k}",
+                                               float(metrics[k]), self.it)
+                    for k in ("s_val", "cdf_fine", "weight_sum",
+                              "weight_max"):
+                        self.logger.add_scalar(f"stats/{k}",
+                                               float(metrics[k]), self.it)
+                    self.logger.add_scalar("lr/model", lr, self.it)
+                    self.logger.add_scalar("lr/motion_net", motion_lr,
+                                           self.it)
+
+                visualize_every = 0
+                for mi, milestone in enumerate(
+                        self.tr["depth_bound_scheduler_milestones"]):
+                    if self.it >= milestone:
+                        visualize_every = self.tr[
+                            "depth_bound_update_every_milestones"][mi]
+                if visualize_every > 0 and self.it % visualize_every == 0:
+                    try:
+                        self.visualize(int(pos), epoch_it)
+                    except Exception as e:  # parity: vis failures swallowed
+                        self._log(f"visualization failed: {e}")
+
+            if (self.checkpoint_every > 0 and
+                    epoch_it % self.checkpoint_every == 0 and epoch_it > 0):
+                self.save_checkpoint()
+
+            l2_epoch = float(np.mean([float(x)
+                                      for x in epoch_losses["l2_mean"]]))
+            psnr = float(-10.0 * np.log10(max(l2_epoch, 1e-10)))
+            self.logger.add_scalar("stats/psnr", psnr, epoch_it)
+            for k, vals in epoch_losses.items():
+                self.logger.add_scalar(
+                    f"loss_epoch/{k}",
+                    float(np.mean([float(v) for v in vals])), epoch_it)
+
+            if (epoch_it % self.eval_pose_every == 0 and
+                    not self.query_in_canonical_space):
+                try:
+                    self.pose_evaluation()
+                except Exception as e:
+                    self._log(f"pose eval failed: {e}")
+
+            self.lr_state.on_epoch_end(epoch_it)
+        self.logger.flush()
+
+    def save_checkpoint(self):
+        scalars = {"epoch_it": self.epoch_it, "it": self.it,
+                   "depth_range": list(map(float, self.depth_range))}
+        save_checkpoint(self.out_dir, self.state, scalars, latest=True)
+        save_checkpoint(self.out_dir, self.state, scalars, latest=False,
+                        epoch=self.epoch_it)

@@ -1,0 +1,48 @@
+"""Evaluator end-to-end on the synthetic scene (train tiny -> eval)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from synthetic_scene import make_scene
+from test_trainer_e2e import _tiny_cfg
+
+from copenerf_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("eval_e2e")
+    path, name = make_scene(str(root), n_frames=10, h=48, w=64)
+    out_dir = str(root / "out")
+    cfg = _tiny_cfg(path, name, out_dir)
+    cfg["eval"]["eval_pose_epoch"] = 3
+    trainer = Trainer(cfg, verbose=False)
+    trainer.train()  # through stage 2
+    trainer.save_checkpoint()
+    return cfg
+
+
+def test_full_evaluation(trained):
+    from copenerf_tpu.evaluation.evaluator import Evaluator
+
+    cfg = trained
+    evaluator = Evaluator(cfg, verbose=False)
+    result = evaluator.eval(store_output=True)
+    assert "PSNR" in result and np.isfinite(result["PSNR"])
+    assert "SSIM" in result and -1 <= result["SSIM"] <= 1
+    assert "ate" in result and np.isfinite(result["ate"])
+    assert {"abs_rel", "rmse", "a1"} <= set(result)  # GT depth present
+    out_dir = cfg["training"]["out_dir"]
+    assert os.path.isfile(os.path.join(out_dir, "results.txt"))
+    n_test = len(evaluator.test_field.i_test)
+    imgs = os.listdir(os.path.join(out_dir, "extraction", "images"))
+    assert len(imgs) == n_test
+    # Pose cache reused on the second run.
+    assert os.path.isfile(os.path.join(out_dir, "models", "weights",
+                                       "model_eval_pose.npz"))
+    result2 = Evaluator(cfg, verbose=False).eval(store_output=False)
+    assert np.isclose(result2["ate"], result["ate"], rtol=1e-4)

@@ -35,15 +35,12 @@ def _camera_mat():
 
 def _batch(key, stage1=True):
     rng = np.random.RandomState(0)
-    n_ref = 3
     return {
-        "image": jnp.asarray(rng.rand(3, H, W).astype(np.float32)),
-        "ref_images": jnp.asarray(rng.rand(n_ref, 3, H, W).astype(np.float32)),
+        "images_all": jnp.asarray(rng.rand(7, 3, H, W).astype(np.float32)),
+        "K_all": jnp.asarray(np.stack([_camera_mat()] * 7)),
         "ref_idxs": jnp.asarray([3, 4, 5], jnp.int32),
         "ref_in_list": jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
         "ref_valid_flow": jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
-        "camera_mat": jnp.asarray(_camera_mat()),
-        "ref_camera_mats": jnp.asarray(np.stack([_camera_mat()] * n_ref)),
         "scale_mat": jnp.eye(4),
         "world_mat": jnp.eye(4),
         "query_time_step": jnp.asarray(-0.2),

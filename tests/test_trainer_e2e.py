@@ -1,0 +1,101 @@
+"""End-to-end trainer test: both stages + pose refinement + checkpoint/resume
+on the synthetic scene (tiny nets/schedules, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from synthetic_scene import make_scene
+
+from copenerf_tpu.config.loader import load_config
+from copenerf_tpu.training.trainer import Trainer
+
+
+def _tiny_cfg(scene_path, scene_name, out_dir):
+    cfg = load_config(None)
+    cfg["dataloading"].update({"path": scene_path, "scene": [scene_name]})
+    cfg["rendering"]["depth_range"] = [0.5, 3.5]
+    cfg["training"].update({
+        "out_dir": out_dir,
+        "original_resolution": [48, 64],
+        "resolution": [48, 64],
+        "vis_resolution": [24, 32],
+        "n_training_points": 64,
+        "patch_size": 4,
+        "scheduling_start": 5,
+        "scheduling_epoch": 3,
+        "start_query_world_epoch": 3,
+        "end_smooth_epoch": 100,
+        "nb_warm_up_it": 10,
+        "pretrained_sdf_path": None,
+        "pose_refine_epochs": 3,
+        "checkpoint_every": 2,
+        "eval_pose_every": 2,
+        "print_every": 5,
+        "depth_bound_update_every_milestones": [0, 0, 0],
+    })
+    cfg["neus_sdf_network"].update({"d_hidden": 64, "n_layers": 4,
+                                    "skip_in": [2], "d_out": 33})
+    cfg["neus_rendering_network"].update({"d_feature": 32, "d_hidden": 32,
+                                          "n_layers": 2})
+    cfg["motion_network"].update({"d_hidden": 32, "n_layers": 2,
+                                  "skip_in": [1]})
+    cfg["neus_nerf"].update({"D": 2, "W": 32})
+    cfg["neus_renderer"].update({"n_samples": 16, "n_importance": 16,
+                                 "up_sample_steps": 2})
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    return make_scene(str(root), n_frames=10, h=48, w=64)
+
+
+def test_full_two_stage_training(scene, tmp_path):
+    path, name = scene
+    out_dir = str(tmp_path / "out")
+    cfg = _tiny_cfg(path, name, out_dir)
+    trainer = Trainer(cfg, verbose=True)
+    trainer.train()  # epochs 0..7, stage 2 from epoch 3
+
+    assert trainer.query_in_canonical_space
+    # Stage-2 artifacts exist.
+    assert os.path.isfile(os.path.join(out_dir, "models", "refine_pose.npz"))
+    assert os.path.isfile(os.path.join(out_dir, "models", "weights",
+                                       "model.ckpt.npz"))
+    # Stage-1 extraction wrote one depth per train view.
+    ddir = os.path.join(out_dir, "extraction_stage1", "depths")
+    assert len([f for f in os.listdir(ddir) if f.endswith(".npz")]) == \
+        trainer.train_field.N_imgs
+    # Scalar log has per-epoch psnr entries and they are finite.
+    scalars = [json.loads(line) for line in
+               open(os.path.join(out_dir, "logs", "scalars.jsonl"))]
+    psnrs = [s["value"] for s in scalars if s["tag"] == "stats/psnr"]
+    assert len(psnrs) >= 8
+    assert np.all(np.isfinite(psnrs))
+
+
+def test_resume_from_checkpoint(scene, tmp_path):
+    path, name = scene
+    out_dir = str(tmp_path / "out_resume")
+    cfg = _tiny_cfg(path, name, out_dir)
+    t1 = Trainer(cfg, verbose=False)
+    t1.train(max_epochs=3)  # stops before stage 2
+    t1.save_checkpoint()
+    it_before, epoch_before = t1.it, t1.epoch_it
+
+    t2 = Trainer(cfg, verbose=False)
+    assert t2.epoch_it == epoch_before
+    assert t2.it == it_before
+    # Params restored bit-exact.
+    a = np.asarray(t1.state["params"]["sdf"]["lin0"]["v"])
+    b = np.asarray(t2.state["params"]["sdf"]["lin0"]["v"])
+    np.testing.assert_array_equal(a, b)
+    # Continue across the stage-2 boundary.
+    t2.train(max_epochs=2)
+    assert t2.epoch_it >= 3
