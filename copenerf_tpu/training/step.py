@@ -104,8 +104,16 @@ def init_train_state(params: dict) -> dict:
 
 
 def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
-                     static: StepStatic):
-    """Return a jitted ``step(state, batch, key) -> (state, metrics)``."""
+                     static: StepStatic, mesh=None):
+    """Return a jitted ``step(state, batch, key) -> (state, metrics)``.
+
+    With ``mesh`` (a 1-D ``('data',)`` jax Mesh), the ray batch is sharded
+    across devices via sharding constraints; params stay replicated and GSPMD
+    inserts the gradient all-reduce over ICI. ``n_points`` must divide the
+    mesh size.
+    """
+    from ..parallel.mesh import shard_rays
+
     tx = make_optimizers()
     s = static
 
@@ -123,10 +131,16 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
         image = batch["images_all"][batch["image_idx"]]
         camera_mat = batch["K_all"][batch["image_idx"]]
         img_flat = image.reshape(3, s.h * s.w)
-        rgb_gt = img_flat[:, ray_idx].T                      # (N, 3)
+        ray_idx = shard_rays(mesh, ray_idx)
+        p = shard_rays(mesh, p)
+        p_norm = shard_rays(mesh, p_norm)
+        rgb_gt = shard_rays(mesh, img_flat[:, ray_idx].T)    # (N, 3)
 
         rays_o, rays_d, rays_d_norm = rays_from_pixels(
             p_norm, camera_mat, batch["world_mat"], batch["scale_mat"])
+        rays_o = shard_rays(mesh, rays_o)
+        rays_d = shard_rays(mesh, rays_d)
+        rays_d_norm = shard_rays(mesh, rays_d_norm)
         n = rays_o.shape[0]
         near = jnp.full((n, 1), 1.0) * batch["near"]
         far = jnp.full((n, 1), 1.0) * batch["far"]

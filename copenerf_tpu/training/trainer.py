@@ -138,6 +138,14 @@ class Trainer:
 
         self.image_renderer = ImageRenderer(self.field_cfgs, self.rcfg,
                                             chunk=4096)
+        # Ray-sharding mesh over the visible chips (replaces DataParallel).
+        self.mesh = None
+        n_dev = tr.get("n_devices") or len(jax.devices())
+        if n_dev > 1 and self.tr["n_training_points"] % n_dev == 0:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_dev)
+            self._log(f"Sharding rays over {n_dev} devices")
         self._steps = {}
         self.query_in_canonical_space = False
         self.pose_retriever = None  # (params, init_c2w) in stage 2
@@ -193,7 +201,7 @@ class Trainer:
                     sum(self.tr["sdf_consistency_weight"]) != 0),
                 smooth_scale=self.s)
             self._steps[key] = build_train_step(self.field_cfgs, self.rcfg,
-                                                static)
+                                                static, mesh=self.mesh)
         return self._steps[key]
 
     def time_of(self, idx):

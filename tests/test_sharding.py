@@ -1,0 +1,54 @@
+"""Multi-device ray sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+import test_train_step as T
+
+from copenerf_tpu.models import init_all_fields
+from copenerf_tpu.parallel.mesh import make_mesh
+from copenerf_tpu.training.step import build_train_step, init_train_state
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    mesh = make_mesh(8)
+    params = init_all_fields(jax.random.PRNGKey(0), T.FIELD_CFGS)
+    static = T._static(stage1=True)
+    batch = T._batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(5)
+
+    step_single = build_train_step(T.FIELD_CFGS, T.RCFG, static, mesh=None)
+    step_sharded = build_train_step(T.FIELD_CFGS, T.RCFG, static, mesh=mesh)
+
+    # The step donates its state; give each run an independent copy.
+    state_a = jax.tree_util.tree_map(jnp.array, init_train_state(params))
+    state_b = jax.tree_util.tree_map(jnp.array, init_train_state(params))
+    s1, m1 = step_single(state_a, batch, key)
+    s8, m8 = step_sharded(state_b, batch, key)
+
+    assert np.isfinite(float(m8["loss"]))
+    # Same math, different reduction order.
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-3)
+    a = np.asarray(s1["params"]["sdf"]["lin0"]["v"])
+    b = np.asarray(s8["params"]["sdf"]["lin0"]["v"])
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_runs_multiple_iterations():
+    mesh = make_mesh(8)
+    params = init_all_fields(jax.random.PRNGKey(0), T.FIELD_CFGS)
+    state = init_train_state(params)
+    step = build_train_step(T.FIELD_CFGS, T.RCFG, T._static(stage1=True),
+                            mesh=mesh)
+    batch = T._batch(jax.random.PRNGKey(1))
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
