@@ -41,6 +41,8 @@ class RendererConfig:
     n_max_network_queries: int = 64000
     importance_sampling_start: int = 0
     naive_render: bool = False
+    # Fused Pallas kernel for the gradient-free SDF sweeps (TPU only).
+    use_pallas_sdf: bool = False
 
     @staticmethod
     def from_cfg(cfg: dict) -> "RendererConfig":
@@ -189,12 +191,21 @@ def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
         z_vals = lower + (upper - lower) * t_rand
 
     if n_importance > 0:
+        if rcfg.use_pallas_sdf:
+            from .pallas.sdf_mlp import sdf_value_fused
+
+            def query_sdf(pts_t):
+                return sdf_value_fused(field_cfgs["sdf"], params["sdf"],
+                                       pts_t)
+        else:
+            def query_sdf(pts_t):
+                return sdf_value(field_cfgs["sdf"], params["sdf"],
+                                 pts_t)[..., 0]
+
         # Importance pre-sampling is gradient-free (reference no_grad :493).
         z_vals = jax.lax.stop_gradient(z_vals)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        sdf = jax.lax.stop_gradient(
-            sdf_value(field_cfgs["sdf"], params["sdf"],
-                      _with_time(pts, time_step))[..., 0])
+        sdf = jax.lax.stop_gradient(query_sdf(_with_time(pts, time_step)))
         n_per_step = n_importance // rcfg.up_sample_steps
         for i in range(rcfg.up_sample_steps):
             up_fn = up_sample_naive if rcfg.naive_render else up_sample
@@ -207,8 +218,7 @@ def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
                 new_pts = (rays_o[:, None, :] +
                            rays_d[:, None, :] * new_z[..., None])
                 new_sdf = jax.lax.stop_gradient(
-                    sdf_value(field_cfgs["sdf"], params["sdf"],
-                              _with_time(new_pts, time_step))[..., 0])
+                    query_sdf(_with_time(new_pts, time_step)))
                 z_vals, sdf, _ = cat_z_vals(z_vals, new_z, sdf, new_sdf)
         n_samples = n_samples + n_importance
 

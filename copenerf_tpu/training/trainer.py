@@ -371,13 +371,21 @@ class Trainer:
             query_t = self.time_of(target)
             world_mat = np.eye(4, dtype=np.float32)
 
+        want_flow = not self.query_in_canonical_space
         res = self.image_renderer.render_image(
             self.state["params"], self.train_field.K[target], world_mat,
             np.eye(4, dtype=np.float32), query_t, vis_res, self.depth_range,
-            cos_anneal_ratio(self.it, self.anneal_end))
+            cos_anneal_ratio(self.it, self.anneal_end), want_pts=want_flow)
 
         out_dir = os.path.join(self.render_path, f"{self.it:04d}_vis")
         os.makedirs(out_dir, exist_ok=True)
+        if want_flow:
+            try:
+                flow_img = self._flow_visualization(res, target, vis_res)
+                self._save_image(
+                    os.path.join(out_dir, f"{target:04d}_flow.png"), flow_img)
+            except Exception as e:
+                self._log(f"flow vis failed: {e}")
         disp = 1.0 / np.maximum(res["depth"], 1e-6)
         disp = disp / max(disp.max(), 1e-6)
         self._save_image(os.path.join(out_dir, f"{target:04d}_img.png"),
@@ -416,6 +424,98 @@ class Trainer:
             for name, val in zip(names, errs):
                 self.logger.add_scalar(f"depth_eval/{name}", val, self.it)
         return res
+
+    def _flow_visualization(self, res, target: int, vis_res):
+        """Forward optical flow from integrated scene flow
+        (reference render_visdata, model/training.py:264-303): advect each
+        sample point along the motion field to the last ref frame's time,
+        composite with render weights, reproject, color-code."""
+        import cv2
+
+        from ..models.fields import motion_apply
+        from ..ops.rays import arange_pixels
+
+        h, w = int(vis_res[0]), int(vis_res[1])
+        n_sub = self.nb_sample_timestep * self.train_field.random_ref_interval[-1]
+        t0 = self.time_of(target)
+        t1 = self.time_of(target + self.train_field.random_ref_interval[-1])
+        times = np.linspace(t0, t1, n_sub + 1)[:-1].astype(np.float32)
+        omega, vel = motion_apply(self.field_cfgs["motion"],
+                                  self.state["params"]["motion"],
+                                  jnp.asarray(times[:, None]))
+        omega = np.asarray(omega)
+        vel = np.asarray(vel)
+        dt = (t1 - t0) / n_sub
+
+        pts = res["pts_flat"].reshape(-1, 3)          # (h*w*S, 3)
+        n_samples = res["weights_flat"].shape[1]
+        for k in range(n_sub):
+            flow = np.cross(np.broadcast_to(omega[k], pts.shape), pts) + vel[k]
+            pts = pts + dt * flow
+        weights = res["weights_flat"].reshape(h * w, n_samples, 1)
+        pts_sf = (weights * pts.reshape(h * w, n_samples, 3)).sum(1)
+
+        proj = self.train_field.K[target][:3, :3]
+        pix = pts_sf @ proj.T
+        pix2 = pix[:, :2] / np.where(np.abs(pix[:, 2:]) < 1e-8, 1e-8,
+                                     pix[:, 2:])
+        _, grid = arange_pixels((h, w))
+        flow2d = pix2 - grid
+        flow2d[:, 0] *= w / 2.0
+        flow2d[:, 1] *= h / 2.0
+        flow2d = flow2d.reshape(h, w, 2)
+
+        mag, ang = cv2.cartToPolar(flow2d[..., 0], flow2d[..., 1])
+        hsv = np.zeros((h, w, 3), np.uint8)
+        hsv[..., 0] = (ang * 180 / np.pi / 2).astype(np.uint8)
+        hsv[..., 1] = 255
+        hsv[..., 2] = cv2.normalize(mag, None, 0, 255,
+                                    cv2.NORM_MINMAX).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
+
+    def vis_pose_2d(self, aligned_pred_pose: np.ndarray):
+        """XY scatter of predicted vs GT camera centers
+        (reference train.py:222-233)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+        except Exception:
+            return
+        fig = plt.figure()
+        plt.scatter(aligned_pred_pose[:, 0, -1], aligned_pred_pose[:, 1, -1])
+        plt.scatter(self.gt_poses[:, 0, -1], self.gt_poses[:, 1, -1])
+        plt.legend(["Pred", "Gt"])
+        plt.title(f"Epoch: {self.epoch_it}")
+        plt.xlabel("X-axis")
+        plt.ylabel("Y-axis")
+        vis_dir = os.path.join(self.out_dir, "poses_vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        plt.savefig(os.path.join(vis_dir, f"{self.epoch_it}.jpg"),
+                    bbox_inches="tight")
+        plt.close(fig)
+
+    def extract_geometry(self, bound_min=(-1.2, -1.2, -1.2),
+                         bound_max=(1.2, 1.2, 1.2), resolution: int = 128,
+                         threshold: float = 0.0, time_step: float = None):
+        """Marching mesh of the SDF zero level set (reference
+        neus_renderer.py:586-591 via mcubes; here the native mesher)."""
+        from ..mesher.marching_cubes import extract_geometry as _extract
+        from ..models.fields import sdf_value
+
+        t = self.world_time_step if time_step is None else time_step
+        params = self.state["params"]["sdf"]
+        cfg = self.field_cfgs["sdf"]
+
+        @jax.jit
+        def query(pts):
+            pts_t = jnp.concatenate(
+                [pts, jnp.full_like(pts[:, :1], t)], axis=-1)
+            return -sdf_value(cfg, params, pts_t)[:, 0]
+
+        return _extract(bound_min, bound_max, resolution, threshold,
+                        lambda p: np.asarray(query(jnp.asarray(p))))
 
     # ------------------------------------------------------------------
     def prepare_training(self):
@@ -541,7 +641,8 @@ class Trainer:
             if (epoch_it % self.eval_pose_every == 0 and
                     not self.query_in_canonical_space):
                 try:
-                    self.pose_evaluation()
+                    aligned, _, _, _ = self.pose_evaluation()
+                    self.vis_pose_2d(aligned)
                 except Exception as e:
                     self._log(f"pose eval failed: {e}")
 
