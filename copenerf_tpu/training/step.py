@@ -77,6 +77,15 @@ def sample_patch_indices(key, h: int, w: int, patch_size: int, n_points: int):
     return (start[:, None] + offsets[None, :]).reshape(-1)  # (n_points,)
 
 
+def _gather_image(images_all, idx):
+    """Fetch one (3, H, W) image from the device-resident stack; the stack
+    may be uint8 (4x less HBM + host->device transfer) or float32."""
+    img = images_all[idx]
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    return img
+
+
 def _pixels_from_indices(ray_idx, h, w):
     """Flat indices -> ((x, y) float pixels, scaled pixels in [-1, 1])."""
     row = (ray_idx // w).astype(jnp.float32)
@@ -128,7 +137,7 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
         p, p_norm = _pixels_from_indices(ray_idx, s.h, s.w)
         # The whole dataset stays device-resident; per-step image selection is
         # an on-device gather.
-        image = batch["images_all"][batch["image_idx"]]
+        image = _gather_image(batch["images_all"], batch["image_idx"])
         camera_mat = batch["K_all"][batch["image_idx"]]
         img_flat = image.reshape(3, s.h * s.w)
         ray_idx = shard_rays(mesh, ray_idx)
@@ -230,8 +239,9 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
                         valid = (in_bounds.astype(jnp.float32) *
                                  batch["ref_valid_flow"][t])
                         valid = jax.lax.stop_gradient(valid)[:, None]
-                        warped = warp_pixels(batch["images_all"][ref_idx],
-                                             corr, normalize=True)
+                        warped = warp_pixels(
+                            _gather_image(batch["images_all"], ref_idx),
+                            corr, normalize=True)
                         return (jnp.sum(jnp.abs(warped - rgb_gt) * valid) /
                                 (jnp.sum(valid) + 1e-10))
 

@@ -164,8 +164,11 @@ class Trainer:
         self.test_field = get_data_fields(cfg, "eval")["img"]
         self.resolution = list(resolution)
         self.h, self.w = int(resolution[0]), int(resolution[1])
-        # Device-resident dataset.
-        self.images_all_dev = jnp.asarray(self.train_field.all_imgs)
+        # Device-resident dataset, stored uint8 (4x less HBM/transfer; the
+        # step converts per-gather).
+        self.images_all_dev = jnp.asarray(
+            np.clip(self.train_field.all_imgs * 255.0 + 0.5, 0,
+                    255).astype(np.uint8))
         self.K_all_dev = jnp.asarray(self.train_field.K)
         # Precomputed per-train-view ref masks.
         m = self.train_field.N_imgs
