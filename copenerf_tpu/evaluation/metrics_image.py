@@ -52,7 +52,19 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
 
 def lpips_fn():
     """Return a callable (img1, img2) -> float LPIPS(vgg), or None when no
-    pretrained backbone is available (zero-egress environment)."""
+    pretrained backbone is available (zero-egress environment).
+
+    Resolution order: the native JAX implementation with user-provided
+    weights (see ``lpips_jax.default_weight_paths``), then the optional
+    ``lpips`` torch package."""
+    try:
+        from .lpips_jax import lpips_fn_jax
+
+        fn = lpips_fn_jax()
+        if fn is not None:
+            return fn
+    except Exception:
+        pass
     try:
         import lpips as lpips_lib
         import torch

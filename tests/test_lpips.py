@@ -1,0 +1,89 @@
+"""LPIPS-in-JAX structural tests with synthetic (random) weights.
+
+No pretrained VGG weights exist in this environment, so these tests verify
+the architecture (shapes, checkpoint ingestion from both npz and torch
+formats, metric properties) rather than golden values."""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from copenerf_tpu.evaluation import lpips_jax
+
+
+_VGG_CONV_SHAPES = [
+    (0, 64, 3), (2, 64, 64),
+    (5, 128, 64), (7, 128, 128),
+    (10, 256, 128), (12, 256, 256), (14, 256, 256),
+    (17, 512, 256), (19, 512, 512), (21, 512, 512),
+    (24, 512, 512), (26, 512, 512), (28, 512, 512),
+]
+
+
+def _fake_checkpoints(tmp_path, fmt="npz"):
+    rng = np.random.RandomState(0)
+    vgg = {}
+    for i, c_out, c_in in _VGG_CONV_SHAPES:
+        vgg[f"features.{i}.weight"] = rng.randn(
+            c_out, c_in, 3, 3).astype(np.float32) * 0.05
+        vgg[f"features.{i}.bias"] = np.zeros(c_out, np.float32)
+    lin = {}
+    for s, ch in enumerate(lpips_jax.STAGE_CHANNELS):
+        lin[f"lin{s}.model.1.weight"] = np.abs(
+            rng.randn(1, ch, 1, 1).astype(np.float32))
+    if fmt == "npz":
+        vgg_path = str(tmp_path / "vgg16.npz")
+        lin_path = str(tmp_path / "vgg.npz")
+        np.savez(vgg_path, **vgg)
+        np.savez(lin_path, **lin)
+    else:
+        import torch
+
+        vgg_path = str(tmp_path / "vgg16.pth")
+        lin_path = str(tmp_path / "vgg.pth")
+        torch.save({k: torch.from_numpy(v) for k, v in vgg.items()}, vgg_path)
+        torch.save({k: torch.from_numpy(v) for k, v in lin.items()}, lin_path)
+    return vgg_path, lin_path
+
+
+@pytest.mark.parametrize("fmt", ["npz", "torch"])
+def test_load_and_metric_properties(tmp_path, fmt):
+    vgg_path, lin_path = _fake_checkpoints(tmp_path, fmt)
+    params = lpips_jax.load_weights(vgg_path, lin_path)
+    assert len(params["stages"]) == 5 and len(params["heads"]) == 5
+
+    rng = np.random.RandomState(1)
+    a = rng.rand(3, 64, 64).astype(np.float32)
+    b = rng.rand(3, 64, 64).astype(np.float32)
+    d_aa = float(lpips_jax.lpips(params, a, a))
+    d_ab = float(lpips_jax.lpips(params, a, b))
+    d_ba = float(lpips_jax.lpips(params, b, a))
+    assert abs(d_aa) < 1e-6                 # identity -> 0
+    assert d_ab > 1e-4                      # distinct images -> positive
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-5)   # symmetric
+
+
+def test_env_var_discovery_and_eval_hook(tmp_path, monkeypatch):
+    vgg_path, lin_path = _fake_checkpoints(tmp_path, "npz")
+    monkeypatch.setenv("COPENERF_LPIPS_VGG", vgg_path)
+    monkeypatch.setenv("COPENERF_LPIPS_LIN", lin_path)
+    fn = lpips_jax.lpips_fn_jax()
+    assert fn is not None
+    rng = np.random.RandomState(2)
+    v = fn(rng.rand(3, 32, 32).astype(np.float32),
+           rng.rand(3, 32, 32).astype(np.float32))
+    assert np.isfinite(v) and v > 0
+
+    from copenerf_tpu.evaluation.metrics_image import lpips_fn
+
+    assert lpips_fn() is not None           # resolution picks the JAX path
+
+
+def test_missing_weights_resolves_none(monkeypatch):
+    monkeypatch.delenv("COPENERF_LPIPS_VGG", raising=False)
+    monkeypatch.delenv("COPENERF_LPIPS_LIN", raising=False)
+    monkeypatch.setattr(os.path, "expanduser", lambda p: "/nonexistent")
+    assert lpips_jax.lpips_fn_jax() is None
