@@ -84,14 +84,19 @@ def main():
         "motion_lr": jnp.asarray(5e-4, jnp.float32),
     }
 
+    # NOTE: jax.block_until_ready is NOT a reliable fence on tunneled
+    # backends (the 'axon' TPU transport resolves buffer futures before the
+    # device drains) — a host fetch of the value is the only honest sync.
+    from copenerf_tpu.utils.profiling import sync
+
     for i in range(WARMUP):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, batch, jax.random.PRNGKey(WARMUP + i))
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])  # steps chain through `state`: one fetch drains all
     dt = time.perf_counter() - t0
 
     iters_per_sec = ITERS / dt

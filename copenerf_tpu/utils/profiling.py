@@ -9,6 +9,47 @@ import os
 import time
 
 
+def sync(x) -> float:
+    """Force completion of everything ``x`` depends on and return it as a
+    Python float.
+
+    ``jax.block_until_ready`` is NOT sufficient on every backend: on tunneled
+    / experimental platforms (e.g. the 'axon' TPU transport) buffer futures
+    can resolve before the device work has drained, so block_until_ready
+    returns immediately and wall-clock timings silently measure dispatch
+    rather than compute. A host fetch of the value cannot lie.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    return float(np.asarray(jnp.sum(x)))
+
+
+def time_fn(fn, *args, iters: int = 20, warmup: int = 3, pick=None):
+    """Honest wall-clock timing of a jitted ``fn(*args)``.
+
+    Dispatches ``iters`` calls back-to-back (normal async pipelining) and
+    host-fetches one scalar of the LAST result: device execution is in-order
+    on a single stream, so the last result completing implies all prior calls
+    ran; the single fetch amortizes the transport round-trip. Returns seconds
+    per call.
+    """
+    import jax
+
+    def scalar(out):
+        o = pick(out) if pick is not None else out
+        return jax.tree_util.tree_leaves(o)[0]
+
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(scalar(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(scalar(out))
+    return (time.perf_counter() - t0) / iters
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax profiler trace viewable in TensorBoard/Perfetto."""
