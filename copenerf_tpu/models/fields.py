@@ -134,6 +134,63 @@ def sdf_with_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas routing: on TPU the hot-path SDF queries run as fused kernels
+# (ops/pallas/sdf_kernels.py); everywhere else the plain-jnp paths above are
+# the oracle. "auto" enables the kernels on tpu/axon backends only.
+# ---------------------------------------------------------------------------
+
+_FUSED_SDF_MODE = "auto"  # "auto" | "on" | "off"
+
+
+def set_fused_sdf(mode: str) -> None:
+    global _FUSED_SDF_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _FUSED_SDF_MODE = mode
+
+
+def fused_sdf_enabled() -> bool:
+    if _FUSED_SDF_MODE == "auto":
+        from ..ops.pallas.sdf_kernels import is_tpu_backend
+        return is_tpu_backend()
+    return _FUSED_SDF_MODE == "on"
+
+
+def sdf_value_nograd(cfg: SDFConfig, params: dict, x: jnp.ndarray):
+    """SDF value only, for stop-gradient regions (importance sweeps,
+    marching-cubes grids). Shape (..., 4) -> (...,)."""
+    if fused_sdf_enabled():
+        from ..ops.pallas.sdf_kernels import get_fused_ops
+        value_fn, _, _ = get_fused_ops(cfg)
+        return value_fn(params, x)
+    return sdf_apply(cfg, params, x)[..., 0]
+
+
+def sdf_output(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) -> (..., d_out) with first-order AD (fused kernel on TPU)."""
+    if fused_sdf_enabled():
+        from ..ops.pallas.sdf_kernels import get_fused_ops
+        _, out_fn, _ = get_fused_ops(cfg)
+        return out_fn(params, x)
+    return sdf_apply(cfg, params, x)
+
+
+def sdf_output_and_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
+    """Hot-path combo with reference semantics: returns (out, grad) where
+    ``out`` is differentiable w.r.t. ``x`` but ``grad``'s x-dependence is
+    severed (the reference detaches pts before ``gradient()``,
+    neus_renderer.py:356). Second-order AD (eikonal) supported on both paths;
+    on TPU this is ONE fused kernel with a hand-derived double-backprop VJP.
+    """
+    if fused_sdf_enabled():
+        from ..ops.pallas.sdf_kernels import get_fused_ops
+        _, _, outgrad_fn = get_fused_ops(cfg)
+        return outgrad_fn(params, x)
+    out = sdf_apply(cfg, params, x)
+    _, grads = sdf_with_gradient(cfg, params, jax.lax.stop_gradient(x))
+    return out, grads
+
+
+# ---------------------------------------------------------------------------
 # Motion network: t -> (omega, v)
 # ---------------------------------------------------------------------------
 

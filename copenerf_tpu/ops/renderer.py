@@ -5,9 +5,10 @@ Functionally mirrors ``/root/reference/model/neus_renderer.py`` (class
 
   * all sample counts static; the 4-round up-sampling loop unrolls to fixed
     shapes (64 -> 80 -> 96 -> 112 -> 128);
-  * SDF normals + time-derivative ("sdf flow") via forward-mode AD
-    (``sdf_with_gradient``), not autograd-in-forward — second-order terms for
-    the eikonal loss fall out of ordinary reverse-over-forward AD;
+  * SDF normals + time-derivative ("sdf flow") via one fused query
+    (``sdf_output_and_gradient``) — a Pallas kernel with a hand-derived
+    second-order VJP on TPU, reverse-mode AD elsewhere — instead of the
+    reference's autograd-in-forward;
   * importance sampling runs under ``stop_gradient`` (the reference uses
     ``torch.no_grad``, :493);
   * stratified-noise PRNG is threaded explicitly (keys, not global state).
@@ -25,8 +26,10 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..models.fields import (color_apply, nerf_apply, sdf_apply, sdf_value,
-                             sdf_with_gradient, variance_inv_s)
+from ..models.fields import (color_apply, nerf_apply, sdf_apply,
+                             sdf_output_and_gradient, sdf_value,
+                             sdf_value_nograd, sdf_with_gradient,
+                             variance_inv_s)
 from .sampling import (_exclusive_transmittance, cat_z_vals, up_sample,
                        up_sample_naive)
 
@@ -41,8 +44,6 @@ class RendererConfig:
     n_max_network_queries: int = 64000
     importance_sampling_start: int = 0
     naive_render: bool = False
-    # Fused Pallas kernel for the gradient-free SDF sweeps (TPU only).
-    use_pallas_sdf: bool = False
 
     @staticmethod
     def from_cfg(cfg: dict) -> "RendererConfig":
@@ -103,15 +104,14 @@ def render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step,
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     pts_time = _with_time(pts, time_step)                      # (B, S, 4)
 
-    sdf_out = sdf_apply(field_cfgs["sdf"], params["sdf"], pts_time)
+    # One fused query for value+feature+gradient. d(sdf)/d(x, y, z, t) has
+    # its input-dependence severed: the reference detaches pts_time before
+    # autograd.grad (:356), so no gradient flows to ray origins/poses
+    # through the normal path.
+    sdf_out, gradients = sdf_output_and_gradient(
+        field_cfgs["sdf"], params["sdf"], pts_time)
     sdf = sdf_out[..., :1]
     feature = sdf_out[..., 1:]
-
-    # d(sdf)/d(x, y, z, t) at stop_gradient'ed inputs: the reference detaches
-    # pts_time before autograd.grad (:356), so no gradient flows to ray
-    # origins/poses through the normal path.
-    _, gradients = sdf_with_gradient(
-        field_cfgs["sdf"], params["sdf"], jax.lax.stop_gradient(pts_time))
     normals = gradients[..., :3]
     sdf_flows = gradients[..., 3:]
 
@@ -191,16 +191,9 @@ def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
         z_vals = lower + (upper - lower) * t_rand
 
     if n_importance > 0:
-        if rcfg.use_pallas_sdf:
-            from .pallas.sdf_mlp import sdf_value_fused
-
-            def query_sdf(pts_t):
-                return sdf_value_fused(field_cfgs["sdf"], params["sdf"],
-                                       pts_t)
-        else:
-            def query_sdf(pts_t):
-                return sdf_value(field_cfgs["sdf"], params["sdf"],
-                                 pts_t)[..., 0]
+        def query_sdf(pts_t):
+            # Auto-routes to the fused Pallas value kernel on TPU.
+            return sdf_value_nograd(field_cfgs["sdf"], params["sdf"], pts_t)
 
         # Importance pre-sampling is gradient-free (reference no_grad :493).
         z_vals = jax.lax.stop_gradient(z_vals)

@@ -1,35 +1,146 @@
-"""Pallas kernel parity (interpreter mode on CPU) vs the jnp reference path."""
+"""Parity tests for the fused Pallas SDF kernels (interpret mode on CPU).
 
-import numpy as np
-import pytest
-
-import conftest  # noqa: F401
+The kernels are validated in f32 against the plain-jnp oracle
+(``models.fields``): forward values, the fused input gradient, first-order
+parameter/input gradients, and the hand-derived SECOND-ORDER backward
+(double backprop for the eikonal-style terms). A bf16 smoke test bounds the
+low-precision error.
+"""
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
-from copenerf_tpu.models import SDFConfig, sdf_init, sdf_value
-from copenerf_tpu.ops.pallas.sdf_mlp import sdf_value_fused
+import copenerf_tpu.ops.pallas.sdf_kernels as K
+from copenerf_tpu.models.fields import (SDFConfig, sdf_apply, sdf_init,
+                                        sdf_with_gradient)
 
-
-def test_fused_sdf_matches_jnp_full_size():
-    cfg = SDFConfig()
-    params = sdf_init(jax.random.PRNGKey(0), cfg)
-    pts = jnp.asarray(
-        np.random.RandomState(0).randn(700, 4).astype(np.float32) * 0.5)
-    ref = np.asarray(sdf_value(cfg, params, pts)[:, 0])
-    fused = np.asarray(sdf_value_fused(cfg, params, pts, tile=256,
-                                       interpret=True))
-    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+CFG = SDFConfig(d_in=4, d_out=33, d_hidden=64, n_layers=4, skip_in=(2,),
+                multires=3, bias=0.5, scale=1.3, geometric_init=True,
+                weight_norm=True)
 
 
-def test_fused_sdf_nd_shape():
-    cfg = SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), d_out=33)
-    params = sdf_init(jax.random.PRNGKey(1), cfg)
-    pts = jnp.asarray(
-        np.random.RandomState(1).randn(8, 33, 4).astype(np.float32) * 0.3)
-    ref = np.asarray(sdf_value(cfg, params, pts)[..., 0])
-    fused = np.asarray(sdf_value_fused(cfg, params, pts, tile=128,
-                                       interpret=True))
-    assert fused.shape == (8, 33)
-    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+@pytest.fixture(scope="module")
+def setup():
+    params = sdf_init(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (40, 4))
+    return params, x
+
+
+def _ops(dtype):
+    K._COMPUTE_DTYPE = dtype
+    K.get_fused_ops.cache_clear()
+    K._build.cache_clear()
+    return K.get_fused_ops(CFG, tile=8, interpret=True)
+
+
+def test_forward_parity_f32(setup):
+    params, x = setup
+    value_fn, out_fn, outgrad_fn = _ops(jnp.float32)
+    np.testing.assert_allclose(value_fn(params, x),
+                               sdf_apply(CFG, params, x)[..., 0],
+                               rtol=0, atol=2e-6)
+    o_ref, g_ref = sdf_with_gradient(CFG, params, x)
+    np.testing.assert_allclose(out_fn(params, x), o_ref, rtol=0, atol=5e-6)
+    o, g = outgrad_fn(params, x)
+    np.testing.assert_allclose(o, o_ref, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(g, g_ref, rtol=0, atol=5e-6)
+
+
+def test_forward_nonmultiple_tile_padding(setup):
+    params, _ = setup
+    value_fn, _, _ = _ops(jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (13, 4))  # pads 13 -> 16
+    np.testing.assert_allclose(value_fn(params, x),
+                               sdf_apply(CFG, params, x)[..., 0],
+                               rtol=0, atol=2e-6)
+
+
+def test_first_order_backward(setup):
+    params, x = setup
+    _, out_fn, _ = _ops(jnp.float32)
+
+    def loss_k(p, xx):
+        return jnp.sum(jnp.sin(out_fn(p, xx)))
+
+    def loss_r(p, xx):
+        return jnp.sum(jnp.sin(sdf_apply(CFG, p, xx)))
+
+    gk = jax.grad(loss_k)(params, x)
+    gr = jax.grad(loss_r)(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    gxk = jax.grad(lambda xx: loss_k(params, xx))(x)
+    gxr = jax.grad(lambda xx: loss_r(params, xx))(x)
+    np.testing.assert_allclose(gxk, gxr, rtol=2e-5, atol=2e-5)
+
+
+def _loss_pair():
+    """(kernel_loss, reference_loss) with eikonal-style second-order terms
+    and the reference's severed-gradient semantics."""
+    def loss_k(outgrad_fn, p, xx):
+        out, g = outgrad_fn(p, xx)
+        return (jnp.mean(jnp.abs(out[..., 0]))
+                + 0.3 * jnp.mean(jnp.sin(out[..., 1:]))
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1.0) ** 2)
+                + 0.2 * jnp.mean(g[..., 3] ** 2))
+
+    def loss_r(p, xx):
+        out = sdf_apply(CFG, p, xx)
+        _, g = sdf_with_gradient(CFG, p, jax.lax.stop_gradient(xx))
+        return (jnp.mean(jnp.abs(out[..., 0]))
+                + 0.3 * jnp.mean(jnp.sin(out[..., 1:]))
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1.0) ** 2)
+                + 0.2 * jnp.mean(g[..., 3] ** 2))
+    return loss_k, loss_r
+
+
+def test_second_order_backward(setup):
+    params, x = setup
+    _, _, outgrad_fn = _ops(jnp.float32)
+    loss_k, loss_r = _loss_pair()
+    gk = jax.grad(lambda p: loss_k(outgrad_fn, p, x))(params)
+    gr = jax.grad(lambda p: loss_r(p, x))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=3e-5)
+    # x gradient: value path only (grad path severed)
+    gxk = jax.grad(lambda xx: loss_k(outgrad_fn, params, xx))(x)
+    gxr = jax.grad(lambda xx: loss_r(params, xx))(x)
+    np.testing.assert_allclose(gxk, gxr, rtol=2e-4, atol=2e-4)
+
+
+def test_second_order_backward_bf16_bounded(setup):
+    params, x = setup
+    _, _, outgrad_fn = _ops(jnp.bfloat16)
+    loss_k, loss_r = _loss_pair()
+    gk = jax.grad(lambda p: loss_k(outgrad_fn, p, x))(params)
+    gr = jax.grad(lambda p: loss_r(p, x))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 0.2, f"bf16 second-order error too large: {err}"
+    K._COMPUTE_DTYPE = jnp.bfloat16  # restore default for other modules
+
+
+def test_routing_matches_plain(setup):
+    """sdf_output_and_gradient with fused mode forced on (interpret) equals
+    the plain path."""
+    from copenerf_tpu.models import fields as F
+    params, x = setup
+    _ops(jnp.float32)
+    F.set_fused_sdf("on")
+    try:
+        o1, g1 = F.sdf_output_and_gradient(CFG, params, x)
+    finally:
+        F.set_fused_sdf("auto")
+    o2, g2 = F.sdf_output_and_gradient(CFG, params, x)
+    np.testing.assert_allclose(o1, o2, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(g1, g2, rtol=0, atol=5e-6)
+    K._COMPUTE_DTYPE = jnp.bfloat16
