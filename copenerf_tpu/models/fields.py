@@ -300,6 +300,11 @@ def color_apply(cfg: ColorConfig, params: dict, points, normals, view_dirs,
         h = jnp.concatenate([points, view_dirs, feature_vectors], -1)
     else:
         raise ValueError(cfg.mode)
+    # NOTE: a fused Pallas color kernel was measured SLOWER than XLA here
+    # (6.3 vs 5.4 ms fwd+bwd at 131k pts): the shallow 5-linear chain gains
+    # less from VMEM-resident activations than it loses materializing the
+    # (N, 291) concat input for the kernel, which XLA fuses into the first
+    # matmul. The SDF net (9 linears + double backprop) is where fusion pays.
     num_layers = len(cfg.dims)
     for l in range(num_layers - 1):
         h = linear_apply(params[f"lin{l}"], h)

@@ -126,7 +126,7 @@ def test_second_order_backward_bf16_bounded(setup):
         scale = float(jnp.max(jnp.abs(b))) + 1e-30
         err = float(jnp.max(jnp.abs(a - b))) / scale
         assert err < 0.2, f"bf16 second-order error too large: {err}"
-    K._COMPUTE_DTYPE = jnp.bfloat16  # restore default for other modules
+    K._COMPUTE_DTYPE = jnp.float32  # restore module default
 
 
 def test_routing_matches_plain(setup):
@@ -143,4 +143,4 @@ def test_routing_matches_plain(setup):
     o2, g2 = F.sdf_output_and_gradient(CFG, params, x)
     np.testing.assert_allclose(o1, o2, rtol=0, atol=5e-6)
     np.testing.assert_allclose(g1, g2, rtol=0, atol=5e-6)
-    K._COMPUTE_DTYPE = jnp.bfloat16
+    K._COMPUTE_DTYPE = jnp.float32
