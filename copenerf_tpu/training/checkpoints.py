@@ -94,6 +94,23 @@ def load_checkpoint(out_dir: str, sub: str = "weights",
     return state, scalars
 
 
+def load_url(url: str, cache_dir: str | None = None):
+    """Fetch a checkpoint from a URL into a local cache and load it
+    (reference ``CheckpointIO.load`` dispatches http(s) paths to
+    ``load_url``, model/checkpoints.py:60-77)."""
+    import hashlib
+    import urllib.request
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "copenerf_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    local = os.path.join(
+        cache_dir, hashlib.sha256(url.encode()).hexdigest()[:16] + ".npz")
+    if not os.path.isfile(local):
+        urllib.request.urlretrieve(url, local)
+    return load_pytree(local)
+
+
 def save_pytree(path: str, tree) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **_flatten(jax.device_get(tree)))

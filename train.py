@@ -26,6 +26,10 @@ def main():
     out_dir = cfg["training"]["out_dir"]
     os.makedirs(out_dir, exist_ok=True)
     shutil.copy(args.config_path, out_dir)
+    if cfg["training"].get("backup_source", True):
+        from copenerf_tpu.utils.backup import backup
+
+        backup(out_dir, args.config_path)
 
     np.random.seed(cfg["training"]["seed"])
 
