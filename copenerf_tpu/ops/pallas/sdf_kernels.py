@@ -353,8 +353,13 @@ def _build(cfg, tile: int, interpret: bool):
                 contrib = _outer_acc(ts[l], z_tot)
                 wb[l] = contrib if wb[l] is None else wb[l] + contrib
                 bb[l] = jnp.sum(z_tot, axis=0)[None, :]
-                tA = _dot_t(z_A, w_refs[l][:])
-                tB = _dot_t(z_B, w_refs[l][:]) if second_order else None
+                if second_order:
+                    # One (2T, d) dot for both channels instead of two.
+                    t_st = _dot_t(jnp.concatenate([z_A, z_B], axis=0),
+                                  w_refs[l][:])
+                    tA, tB = t_st[:n_rows], t_st[n_rows:]
+                else:
+                    tA, tB = _dot_t(z_A, w_refs[l][:]), None
                 if l in geom.skip:
                     od = geom.out_dims[l - 1]
                     e_hat = e_hat + tA[:, od:] * INV_SQRT2
