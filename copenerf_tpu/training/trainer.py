@@ -139,13 +139,24 @@ class Trainer:
         self.image_renderer = ImageRenderer(self.field_cfgs, self.rcfg,
                                             chunk=4096)
         # Ray-sharding mesh over the visible chips (replaces DataParallel).
+        # With training.distributed, the same ('data',) mesh spans every
+        # process's chips (ICI in-slice, DCN across hosts) — see
+        # parallel/distributed.py.
         self.mesh = None
-        n_dev = tr.get("n_devices") or len(jax.devices())
-        if n_dev > 1 and self.tr["n_training_points"] % n_dev == 0:
-            from ..parallel.mesh import make_mesh
+        if tr.get("distributed"):
+            from ..parallel import distributed as dist
 
-            self.mesh = make_mesh(n_dev)
-            self._log(f"Sharding rays over {n_dev} devices")
+            dist.initialize()
+            self.mesh = dist.global_mesh()
+            self._log(f"Distributed: {jax.process_count()} processes, "
+                      f"{len(jax.devices())} global devices")
+        else:
+            n_dev = tr.get("n_devices") or len(jax.devices())
+            if n_dev > 1 and self.tr["n_training_points"] % n_dev == 0:
+                from ..parallel.mesh import make_mesh
+
+                self.mesh = make_mesh(n_dev)
+                self._log(f"Sharding rays over {n_dev} devices")
         self._steps = {}
         self.query_in_canonical_space = False
         self.pose_retriever = None  # (params, init_c2w) in stage 2
@@ -653,6 +664,8 @@ class Trainer:
         self.logger.flush()
 
     def save_checkpoint(self):
+        if jax.process_index() != 0:  # one writer per multi-host job
+            return
         scalars = {"epoch_it": self.epoch_it, "it": self.it,
                    "depth_range": list(map(float, self.depth_range))}
         save_checkpoint(self.out_dir, self.state, scalars, latest=True)

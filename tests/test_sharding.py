@@ -52,3 +52,31 @@ def test_sharded_step_runs_multiple_iterations():
     for i in range(3):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_helpers_single_process():
+    """Multi-host helpers degrade to plain sharded/replicated arrays under a
+    single process; a sharded step consumes their outputs unchanged."""
+    from copenerf_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single-process
+    assert dist.is_primary()
+    mesh = dist.global_mesh(8)
+
+    batch = T._batch(jax.random.PRNGKey(1))
+    gbatch = dist.replicate_to_global(mesh, batch)
+    np.testing.assert_allclose(np.asarray(gbatch["world_mat"]),
+                               np.asarray(batch["world_mat"]))
+
+    rays = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    grays = dist.shard_to_global(mesh, rays)
+    assert grays.shape == (16, 3)
+    np.testing.assert_allclose(np.asarray(grays), rays)
+
+    params = init_all_fields(jax.random.PRNGKey(0), T.FIELD_CFGS)
+    state = init_train_state(params)
+    step = build_train_step(T.FIELD_CFGS, T.RCFG, T._static(stage1=True),
+                            mesh=mesh)
+    state, metrics = step(state, gbatch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
