@@ -1,0 +1,63 @@
+"""Console entry points (``pip install .`` -> ``copenerf-train`` etc.).
+
+Thin wrappers over the repo-root scripts' logic so the same commands work
+installed or from a checkout (reference usage: ``python train.py <cfg>``,
+``/root/reference/README.md:26-49``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(description="Training")
+    parser.add_argument("config_path", type=str, help="Config file path")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from .config.loader import load_config
+    from .training.trainer import Trainer
+
+    cfg = load_config(args.config_path)
+    out_dir = cfg["training"]["out_dir"]
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.copy(args.config_path, out_dir)
+    if cfg["training"].get("backup_source", True):
+        from .utils.backup import backup
+
+        backup(out_dir, args.config_path)
+    np.random.seed(cfg["training"]["seed"])
+    trainer = Trainer(cfg)
+    trainer.train(max_epochs=args.max_epochs)
+    trainer.save_checkpoint()
+
+
+def eval_main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluation")
+    parser.add_argument("config_path", type=str, help="Config file path")
+    parser.add_argument("--no-store", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .config.loader import load_config
+    from .evaluation.evaluator import Evaluator
+
+    cfg = load_config(args.config_path)
+    Evaluator(cfg).eval(store_output=not args.no_store)
+
+
+def bench_main(argv=None):
+    import importlib.util
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(root, "bench.py")
+    spec = importlib.util.spec_from_file_location("copenerf_bench", bench_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["copenerf_bench"] = mod
+    spec.loader.exec_module(mod)
+    mod.main()
