@@ -112,6 +112,15 @@ class Trainer:
 
         self.lr_state = LRState(tr)
         self.logger = ScalarLogger(self.out_dir)
+        from ..utils.profiling import StepTimer
+
+        self.step_timer = StepTimer(
+            window=50,
+            log_path=os.path.join(self.out_dir, "logs", "throughput.jsonl"))
+        # Set to an iteration number to capture one jax profiler trace there
+        # (viewable in TensorBoard/Perfetto); new capability over the
+        # reference, which has no profiling at all (SURVEY.md §5).
+        self.profile_trace_at_it = tr.get("profile_trace_at_it", -1)
         self.anneal_end = cfg["neus_training"]["neus_anneal_end"]
 
         self.patch_size = tr["patch_size"]
@@ -605,7 +614,16 @@ class Trainer:
                 lr, motion_lr = self.lr_state.lrs(self.it)
                 batch = self._make_batch(int(pos), lr, motion_lr)
                 key = jax.random.fold_in(self._base_key, self.it)
-                self.state, metrics = step(self.state, batch, key)
+                if self.it == self.profile_trace_at_it:
+                    from ..utils.profiling import trace
+
+                    with trace(os.path.join(self.out_dir, "logs", "plugins")):
+                        self.state, metrics = step(self.state, batch, key)
+                        jax.block_until_ready(metrics["loss"])
+                    self._log(f"profiler trace captured at it={self.it}")
+                else:
+                    self.state, metrics = step(self.state, batch, key)
+                self.step_timer.tick()
 
                 for k in ("loss", "loss_rgb", "loss_eikonal", "l2_mean",
                           "loss_sdf", "loss_flow_rgb",
@@ -643,14 +661,19 @@ class Trainer:
                     epoch_it % self.checkpoint_every == 0 and epoch_it > 0):
                 self.save_checkpoint()
 
-            l2_epoch = float(np.mean([float(x)
-                                      for x in epoch_losses["l2_mean"]]))
+            # One batched transfer for every per-iter scalar kept this epoch
+            # (per-scalar float() fetches would round-trip the transport
+            # hundreds of times per epoch).
+            epoch_losses = jax.device_get(dict(epoch_losses))
+            l2_epoch = float(np.mean(epoch_losses["l2_mean"]))
             psnr = float(-10.0 * np.log10(max(l2_epoch, 1e-10)))
             self.logger.add_scalar("stats/psnr", psnr, epoch_it)
             for k, vals in epoch_losses.items():
                 self.logger.add_scalar(
-                    f"loss_epoch/{k}",
-                    float(np.mean([float(v) for v in vals])), epoch_it)
+                    f"loss_epoch/{k}", float(np.mean(vals)), epoch_it)
+            self.step_timer.log(self.it, epoch=epoch_it,
+                                rays_per_sec=(self.step_timer.items_per_sec *
+                                              self.tr["n_training_points"]))
 
             if (epoch_it % self.eval_pose_every == 0 and
                     not self.query_in_canonical_space):
