@@ -43,9 +43,16 @@ def interp_poses(c2ws: np.ndarray, n_views: int) -> np.ndarray:
     slerp = Slerp(np.linspace(0, 1, n), rots)
     ts = np.linspace(0, 1, n_views)
     r_out = slerp(ts).as_matrix().astype(np.float32)
+    # Translation interp matches torch.nn.functional.interpolate(
+    # mode='linear', align_corners=False) used upstream: half-pixel centers,
+    # clipped at the borders (NOT np.interp's endpoint-anchored grid).
     t_in = c2ws[:, :3, 3]
-    t_out = np.stack([np.interp(ts, np.linspace(0, 1, n), t_in[:, d])
-                      for d in range(3)], -1).astype(np.float32)
+    x = (np.arange(n_views) + 0.5) * (n / n_views) - 0.5
+    x = np.clip(x, 0.0, n - 1.0)
+    lo = np.floor(x).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (x - lo)[:, None]
+    t_out = (t_in[lo] * (1.0 - frac) + t_in[hi] * frac).astype(np.float32)
     return convert3x4_4x4(
         np.concatenate([r_out, t_out[:, :, None]], -1))
 
