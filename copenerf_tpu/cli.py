@@ -50,6 +50,39 @@ def eval_main(argv=None):
     Evaluator(cfg).eval(store_output=not args.no_store)
 
 
+def extract_mesh_main(argv=None):
+    """Marching-cubes mesh of the learned SDF zero level set -> PLY
+    (reference capability: ``NeuSRenderer.extract_geometry`` via mcubes,
+    ``/root/reference/model/neus_renderer.py:586-591``; the reference never
+    exposes it on the CLI — this makes it first-class)."""
+    parser = argparse.ArgumentParser(description="Mesh extraction")
+    parser.add_argument("config_path", type=str, help="Config file path")
+    parser.add_argument("--out", type=str, default=None,
+                        help="Output .ply path (default: out_dir/mesh.ply)")
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--threshold", type=float, default=0.0)
+    parser.add_argument("--bound", type=float, default=1.2,
+                        help="Half-extent of the symmetric extraction cube")
+    parser.add_argument("--time-step", type=float, default=None,
+                        help="Query time in [-1, 1] (default: world time)")
+    args = parser.parse_args(argv)
+
+    from .config.loader import load_config
+    from .mesher.marching_cubes import save_ply
+    from .training.trainer import Trainer
+
+    cfg = load_config(args.config_path)
+    trainer = Trainer(cfg, verbose=False)
+    b = args.bound
+    verts, tris = trainer.extract_geometry(
+        bound_min=(-b, -b, -b), bound_max=(b, b, b),
+        resolution=args.resolution, threshold=args.threshold,
+        time_step=args.time_step)
+    out = args.out or os.path.join(cfg["training"]["out_dir"], "mesh.ply")
+    save_ply(out, verts, tris)
+    print(f"wrote {out}: {len(verts)} vertices, {len(tris)} faces")
+
+
 def bench_main(argv=None):
     import importlib.util
     import sys

@@ -187,3 +187,23 @@ def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
     verts = verts / (resolution - 1.0) * (bound_max - bound_min)[None] + \
         bound_min[None]
     return verts.astype(np.float32), tris
+
+
+def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    """Write a binary little-endian PLY (the format mcubes users export to)."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(tris)}\n"
+        "property list uchar int vertex_indices\nend_header\n")
+    face_rec = np.empty(
+        len(tris), dtype=np.dtype([("n", np.uint8), ("idx", np.int32, (3,))]))
+    face_rec["n"] = 3
+    face_rec["idx"] = tris
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(verts.tobytes())
+        f.write(face_rec.tobytes())
