@@ -67,12 +67,21 @@ def extract_mesh_main(argv=None):
                         help="Query time in [-1, 1] (default: world time)")
     args = parser.parse_args(argv)
 
+    if args.time_step is not None and not -1.0 <= args.time_step <= 1.0:
+        parser.error(f"--time-step must be in [-1, 1], got {args.time_step} "
+                     "(times are normalized frame indices)")
+
     from .config.loader import load_config
     from .mesher.marching_cubes import save_ply
     from .training.trainer import Trainer
 
     cfg = load_config(args.config_path)
     trainer = Trainer(cfg, verbose=False)
+    if not trainer.checkpoint_loaded:
+        raise SystemExit(
+            f"No checkpoint found under {cfg['training']['out_dir']}/models — "
+            "refusing to mesh randomly initialized SDF weights. "
+            "Train first or point the config's out_dir at a trained run.")
     b = args.bound
     verts, tris = trainer.extract_geometry(
         bound_min=(-b, -b, -b), bound_max=(b, b, b),

@@ -190,9 +190,12 @@ def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
 
 
 def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
-    """Write a binary little-endian PLY (the format mcubes users export to)."""
-    verts = np.ascontiguousarray(verts, np.float32)
-    tris = np.ascontiguousarray(tris, np.int32)
+    """Write a binary little-endian PLY (the format mcubes users export to).
+
+    Dtypes are forced little-endian explicitly so the declared format holds
+    on big-endian hosts too."""
+    verts = np.ascontiguousarray(verts, np.dtype("<f4"))
+    tris = np.ascontiguousarray(tris, np.dtype("<i4"))
     header = (
         "ply\nformat binary_little_endian 1.0\n"
         f"element vertex {len(verts)}\n"
@@ -200,7 +203,8 @@ def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
         f"element face {len(tris)}\n"
         "property list uchar int vertex_indices\nend_header\n")
     face_rec = np.empty(
-        len(tris), dtype=np.dtype([("n", np.uint8), ("idx", np.int32, (3,))]))
+        len(tris),
+        dtype=np.dtype([("n", np.dtype("<u1")), ("idx", np.dtype("<i4"), (3,))]))
     face_rec["n"] = 3
     face_rec["idx"] = tris
     with open(path, "wb") as f:

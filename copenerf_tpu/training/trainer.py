@@ -92,6 +92,7 @@ class Trainer:
 
         # Resume.
         self.epoch_it, self.it = -1, -1
+        self.checkpoint_loaded = False
         try:
             state, scalars = load_checkpoint(
                 self.out_dir, model_only=tr["load_ckpt_model_only"])
@@ -106,6 +107,7 @@ class Trainer:
                 self.it = int(scalars.get("it", -1))
                 if "depth_range" in scalars:
                     self.depth_range = list(scalars["depth_range"])
+            self.checkpoint_loaded = True
             self._log("Checkpoint found ==> continue training")
         except FileNotFoundError:
             self._log("No checkpoint found ==> train from scratch")
