@@ -160,8 +160,7 @@ def sdf_value_nograd(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     marching-cubes grids). Shape (..., 4) -> (...,)."""
     if fused_sdf_enabled():
         from ..ops.pallas.sdf_kernels import get_fused_ops
-        value_fn, _, _ = get_fused_ops(cfg)
-        return value_fn(params, x)
+        return get_fused_ops(cfg).value(params, x)
     return sdf_apply(cfg, params, x)[..., 0]
 
 
@@ -169,9 +168,20 @@ def sdf_output(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """(..., 4) -> (..., d_out) with first-order AD (fused kernel on TPU)."""
     if fused_sdf_enabled():
         from ..ops.pallas.sdf_kernels import get_fused_ops
-        _, out_fn, _ = get_fused_ops(cfg)
-        return out_fn(params, x)
+        return get_fused_ops(cfg).out(params, x)
     return sdf_apply(cfg, params, x)
+
+
+def sdf_scalar(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable SDF value only: (..., 4) -> (...,).
+
+    For losses that never touch the feature head (sdf-consistency,
+    train.py:495-505): the fused value-only kernel skips the 256-wide output
+    matmul and its backward sweeps (~30% fewer FLOPs than ``sdf_output``)."""
+    if fused_sdf_enabled():
+        from ..ops.pallas.sdf_kernels import get_fused_ops
+        return get_fused_ops(cfg).value_diff(params, x)
+    return sdf_apply(cfg, params, x)[..., 0]
 
 
 def sdf_output_and_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
@@ -183,8 +193,7 @@ def sdf_output_and_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     """
     if fused_sdf_enabled():
         from ..ops.pallas.sdf_kernels import get_fused_ops
-        _, _, outgrad_fn = get_fused_ops(cfg)
-        return outgrad_fn(params, x)
+        return get_fused_ops(cfg).outgrad(params, x)
     out = sdf_apply(cfg, params, x)
     _, grads = sdf_with_gradient(cfg, params, jax.lax.stop_gradient(x))
     return out, grads

@@ -36,7 +36,7 @@ in XLA — a negligible (in, out) op); autodiff from ``W_bar`` to the
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Any, NamedTuple, Sequence
 
 import numpy as np
 import jax
@@ -188,9 +188,11 @@ def _outer_acc(p, q):
 # Kernel bodies (shared forward/grad-sweep helpers, traced per tile)
 # ---------------------------------------------------------------------------
 
-def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool):
+def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool,
+                  value_only: bool = False):
     """Forward over one tile. Returns (z_last, saved) where saved is
-    (jwide, e, ts, sigs); ts/sigs populated only when ``keep``."""
+    (jwide, e, ts, sigs); ts/sigs populated only when ``keep``. With
+    ``value_only`` the last layer multiplies only W_last[:, :1] (SDF head)."""
     xs = x * geom.scale
     e, jwide = _pe_parts(xs, pec, geom)
     h = e
@@ -200,7 +202,10 @@ def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool):
              if l in geom.skip else h)
         if keep:
             ts.append(t)
-        z = _dot(t, w_refs[l][:]) + b_refs[l][:]
+        w_l, b_l = w_refs[l][:], b_refs[l][:]
+        if value_only and l == geom.n_lin - 1:
+            w_l, b_l = w_l[:, :1], b_l[:, :1]
+        z = _dot(t, w_l) + b_l
         if l < geom.n_lin - 1:
             s = _sig100(z)
             if keep:
@@ -271,8 +276,8 @@ def _build(cfg, tile: int, interpret: bool):
                              keep=False)
         out_ref[:] = z[:, :1] / geom.scale
 
-    # ---------------- forward (full output [+ grad]) ----------------
-    def make_fwd_kernel(with_grad: bool):
+    # ---------------- forward (full output [+ grad] / value-only) --------
+    def make_fwd_kernel(with_grad: bool, value_only: bool = False):
         def kernel(*refs):
             x_ref, pec_ref = refs[0], refs[1]
             w_refs = refs[2:2 + n]
@@ -283,9 +288,13 @@ def _build(cfg, tile: int, interpret: bool):
                 out_ref = refs[-1]
             pec = pec_ref[:]
             z, (jwide, e, ts, sigs) = _forward_tile(
-                x_ref[:], pec, w_refs, b_refs, geom, keep=with_grad)
-            out_ref[:] = jnp.concatenate(
-                [z[:, :1] / geom.scale, z[:, 1:]], axis=-1)
+                x_ref[:], pec, w_refs, b_refs, geom, keep=with_grad,
+                value_only=value_only)
+            if value_only:
+                out_ref[:] = z / geom.scale
+            else:
+                out_ref[:] = jnp.concatenate(
+                    [z[:, :1] / geom.scale, z[:, 1:]], axis=-1)
             if with_grad:
                 ee, _, _ = _grad_sweep_tile(w_refs, sigs, geom,
                                             x_ref.shape[0], keep=False)
@@ -293,9 +302,14 @@ def _build(cfg, tile: int, interpret: bool):
         return kernel
 
     # ---------------- backward ----------------
-    def make_bwd_kernel(second_order: bool):
+    def make_bwd_kernel(second_order: bool, value_only: bool = False):
         """Inputs: x, O_bar[, G_bar], Ws, bs.
-        Outputs: x_bar, W_bar x n, b_bar x n (accumulated across grid)."""
+        Outputs: x_bar, W_bar x n, b_bar x n (accumulated across grid).
+        With ``value_only``, O_bar is (T, 1) (SDF head only): the last layer's
+        sweeps use W_last[:, :1] and its weight/bias grads are zero-padded to
+        the full (in, d_out)/(1, d_out) blocks."""
+        assert not (second_order and value_only)
+
         def kernel(*refs):
             x_ref = refs[0]
             pec_ref = refs[1]
@@ -316,7 +330,8 @@ def _build(cfg, tile: int, interpret: bool):
             pec = pec_ref[:]
 
             z_last, (jwide, e, ts, sigs) = _forward_tile(
-                x_ref[:], pec, w_refs, b_refs, geom, keep=True)
+                x_ref[:], pec, w_refs, b_refs, geom, keep=True,
+                value_only=value_only)
 
             wb = [None] * n
             bb = [None] * n
@@ -342,24 +357,29 @@ def _build(cfg, tile: int, interpret: bool):
                 wlast_col0_bar = jnp.sum(r_hat, axis=0)[:, None]  # (in, 1)
 
             # combined value sweep: channel A (-> x_bar) + channel B
-            scale_vec = jnp.concatenate(
-                [jnp.full((1, 1), 1.0 / geom.scale, jnp.float32),
-                 jnp.ones((1, geom.d_out - 1), jnp.float32)], axis=-1)
+            if value_only:
+                scale_vec = jnp.full((1, 1), 1.0 / geom.scale, jnp.float32)
+            else:
+                scale_vec = jnp.concatenate(
+                    [jnp.full((1, 1), 1.0 / geom.scale, jnp.float32),
+                     jnp.ones((1, geom.d_out - 1), jnp.float32)], axis=-1)
             z_A = obar_ref[:] * scale_vec
             z_B = jnp.zeros_like(z_A) if second_order else None
             e_hat = jnp.zeros_like(e)
             for l in range(n - 1, -1, -1):
+                w_l = w_refs[l][:]
+                if value_only and l == n - 1:
+                    w_l = w_l[:, :1]
                 z_tot = z_A + z_B if second_order else z_A
                 contrib = _outer_acc(ts[l], z_tot)
                 wb[l] = contrib if wb[l] is None else wb[l] + contrib
                 bb[l] = jnp.sum(z_tot, axis=0)[None, :]
                 if second_order:
                     # One (2T, d) dot for both channels instead of two.
-                    t_st = _dot_t(jnp.concatenate([z_A, z_B], axis=0),
-                                  w_refs[l][:])
+                    t_st = _dot_t(jnp.concatenate([z_A, z_B], axis=0), w_l)
                     tA, tB = t_st[:n_rows], t_st[n_rows:]
                 else:
-                    tA, tB = _dot_t(z_A, w_refs[l][:]), None
+                    tA, tB = _dot_t(z_A, w_l), None
                 if l in geom.skip:
                     od = geom.out_dims[l - 1]
                     e_hat = e_hat + tA[:, od:] * INV_SQRT2
@@ -380,6 +400,14 @@ def _build(cfg, tile: int, interpret: bool):
                     (geom.in_dims[n - 1], geom.d_out - 1), jnp.float32)
                 wb[n - 1] = wb[n - 1] + jnp.concatenate(
                     [wlast_col0_bar, pad], axis=-1)
+            if value_only:
+                wb[n - 1] = jnp.concatenate(
+                    [wb[n - 1], jnp.zeros((geom.in_dims[n - 1],
+                                           geom.d_out - 1), jnp.float32)],
+                    axis=-1)
+                bb[n - 1] = jnp.concatenate(
+                    [bb[n - 1], jnp.zeros((1, geom.d_out - 1), jnp.float32)],
+                    axis=-1)
 
             for l in range(n):
                 @pl.when(i == 0)
@@ -404,32 +432,35 @@ def _build(cfg, tile: int, interpret: bool):
             interpret=interpret,
         )(x, jnp.asarray(geom.pe_consts), *Ws, *bs)[:, 0]
 
-    def call_fwd(Ws, bs, x, with_grad: bool):
+    def call_fwd(Ws, bs, x, with_grad: bool, value_only: bool = False):
         grid = (x.shape[0] // tile,)
+        d_o = 1 if value_only else geom.d_out
         in_specs = _common_specs(geom, tile, Ws, bs, pl, pltpu)
-        out_specs = [pl.BlockSpec((tile, geom.d_out), lambda i: (i, 0),
+        out_specs = [pl.BlockSpec((tile, d_o), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
-        out_shape = [jax.ShapeDtypeStruct((x.shape[0], geom.d_out),
-                                          jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((x.shape[0], d_o), jnp.float32)]
         if with_grad:
             out_specs.append(pl.BlockSpec((tile, geom.d_in), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((x.shape[0], geom.d_in),
                                                   jnp.float32))
         return pl.pallas_call(
-            make_fwd_kernel(with_grad), grid=grid, in_specs=in_specs,
+            make_fwd_kernel(with_grad, value_only), grid=grid,
+            in_specs=in_specs,
             out_specs=out_specs if with_grad else out_specs[0],
             out_shape=out_shape if with_grad else out_shape[0],
             interpret=interpret,
         )(x, jnp.asarray(geom.pe_consts), *Ws, *bs)
 
-    def call_bwd(Ws, bs, x, obar, gbar, second_order: bool):
+    def call_bwd(Ws, bs, x, obar, gbar, second_order: bool,
+                 value_only: bool = False):
         grid = (x.shape[0] // tile,)
+        d_o = 1 if value_only else geom.d_out
         in_specs = [pl.BlockSpec((tile, geom.d_in), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(geom.pe_consts.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tile, geom.d_out), lambda i: (i, 0),
+                    pl.BlockSpec((tile, d_o), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
         args = [x, jnp.asarray(geom.pe_consts), obar]
         if second_order:
@@ -455,7 +486,8 @@ def _build(cfg, tile: int, interpret: bool):
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
         outs = pl.pallas_call(
-            make_bwd_kernel(second_order), grid=grid, in_specs=in_specs,
+            make_bwd_kernel(second_order, value_only), grid=grid,
+            in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
@@ -493,16 +525,27 @@ def _prep(params, n_lin):
 # Public API (per-config cached, custom_vjp wrapped)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=32)
-def get_fused_ops(cfg, tile: int = DEFAULT_TILE, interpret: bool | None = None):
-    """Return (value_fn, out_fn, outgrad_fn) for one SDFConfig.
-
-    All take ``(params, x)`` with ``x`` of shape (..., d_in):
-      value_fn   -> sdf (...,)                    [no AD — stop-grad regions]
-      out_fn     -> out (..., d_out)              [first-order custom bwd]
-      outgrad_fn -> (out (..., d_out), grad (..., d_in))  [second-order bwd;
+class FusedOps(NamedTuple):
+    """The fused SDF callables for one SDFConfig. All take ``(params, x)``
+    with ``x`` of shape (..., d_in):
+      value      -> sdf (...,)                  [no AD — stop-grad regions]
+      out        -> out (..., d_out)            [first-order custom bwd]
+      outgrad    -> (out (..., d_out), grad (..., d_in))  [second-order bwd;
                     grad's x-dependence severed]
+      value_diff -> sdf (...,)                  [first-order custom bwd that
+                    never touches the 256-d feature head: last-layer matmuls
+                    and sweeps use W_last[:, :1] only — ~30% fewer FLOPs than
+                    ``out`` for value-only losses (sdf-consistency)]
     """
+    value: Any
+    out: Any
+    outgrad: Any
+    value_diff: Any
+
+
+@functools.lru_cache(maxsize=32)
+def get_fused_ops(cfg, tile: int = DEFAULT_TILE,
+                  interpret: bool | None = None) -> "FusedOps":
     if interpret is None:
         interpret = not is_tpu_backend()
     geom, call_value, call_fwd, call_bwd = _build(cfg, tile, interpret)
@@ -563,4 +606,27 @@ def get_fused_ops(cfg, tile: int = DEFAULT_TILE, interpret: bool | None = None):
         grad = grad[:nrows].reshape(x.shape[:-1] + (geom.d_in,))
         return out, grad
 
-    return value_fn, out_fn, outgrad_fn
+    # ----- value-only first-order op -----
+    @jax.custom_vjp
+    def _valdiff_op(Ws, bs, flat):
+        return call_fwd(Ws, bs, flat, with_grad=False, value_only=True)
+
+    def _valdiff_fwd(Ws, bs, flat):
+        return (call_fwd(Ws, bs, flat, with_grad=False, value_only=True),
+                (Ws, bs, flat))
+
+    def _valdiff_bwd(res, obar):
+        Ws, bs, flat = res
+        x_bar, w_bars, b_bars = call_bwd(Ws, bs, flat, obar, None,
+                                         second_order=False, value_only=True)
+        return tuple(w_bars), tuple(b_bars), x_bar
+
+    _valdiff_op.defvjp(_valdiff_fwd, _valdiff_bwd)
+
+    def value_diff_fn(params, x):
+        Ws, bs = _prep(params, n)
+        flat, nrows = _pad_rows(x, tile)
+        out = _valdiff_op(Ws, bs, flat)[:nrows, 0]
+        return out.reshape(x.shape[:-1])
+
+    return FusedOps(value_fn, out_fn, outgrad_fn, value_diff_fn)

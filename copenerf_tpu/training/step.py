@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.fields import motion_apply, sdf_output
+from ..models.fields import motion_apply, sdf_scalar
 from ..ops.interp import warp_pixels
 from ..ops.rays import rays_from_pixels
 from ..ops.renderer import RendererConfig, render
@@ -202,8 +202,8 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
                          jnp.full_like(pts_world[:, :1],
                                        1.0) * batch["world_time_step"]],
                         axis=-1)
-                    sdf_w = sdf_output(field_cfgs["sdf"], params["sdf"],
-                                       pts_world_t)[:, 0]
+                    sdf_w = sdf_scalar(field_cfgs["sdf"], params["sdf"],
+                                       pts_world_t)
                     active = jnp.logical_and(
                         any_ref,
                         batch["image_idx"] != batch["world_cam_idx"])

@@ -37,35 +37,59 @@ def _ops(dtype):
 
 def test_forward_parity_f32(setup):
     params, x = setup
-    value_fn, out_fn, outgrad_fn = _ops(jnp.float32)
-    np.testing.assert_allclose(value_fn(params, x),
+    ops = _ops(jnp.float32)
+    np.testing.assert_allclose(ops.value(params, x),
                                sdf_apply(CFG, params, x)[..., 0],
                                rtol=0, atol=2e-6)
     o_ref, g_ref = sdf_with_gradient(CFG, params, x)
-    np.testing.assert_allclose(out_fn(params, x), o_ref, rtol=0, atol=5e-6)
-    o, g = outgrad_fn(params, x)
+    np.testing.assert_allclose(ops.out(params, x), o_ref, rtol=0, atol=5e-6)
+    o, g = ops.outgrad(params, x)
     np.testing.assert_allclose(o, o_ref, rtol=0, atol=5e-6)
     np.testing.assert_allclose(g, g_ref, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(ops.value_diff(params, x), o_ref[..., 0],
+                               rtol=0, atol=5e-6)
 
 
 def test_forward_nonmultiple_tile_padding(setup):
     params, _ = setup
-    value_fn, _, _ = _ops(jnp.float32)
+    ops = _ops(jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(3), (13, 4))  # pads 13 -> 16
-    np.testing.assert_allclose(value_fn(params, x),
+    np.testing.assert_allclose(ops.value(params, x),
                                sdf_apply(CFG, params, x)[..., 0],
                                rtol=0, atol=2e-6)
 
 
 def test_first_order_backward(setup):
     params, x = setup
-    _, out_fn, _ = _ops(jnp.float32)
+    ops = _ops(jnp.float32)
 
     def loss_k(p, xx):
-        return jnp.sum(jnp.sin(out_fn(p, xx)))
+        return jnp.sum(jnp.sin(ops.out(p, xx)))
 
     def loss_r(p, xx):
         return jnp.sum(jnp.sin(sdf_apply(CFG, p, xx)))
+
+    gk = jax.grad(loss_k)(params, x)
+    gr = jax.grad(loss_r)(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    gxk = jax.grad(lambda xx: loss_k(params, xx))(x)
+    gxr = jax.grad(lambda xx: loss_r(params, xx))(x)
+    np.testing.assert_allclose(gxk, gxr, rtol=2e-5, atol=2e-5)
+
+
+def test_value_only_first_order_backward(setup):
+    """The value-only op's params/x gradients equal the full op's for a loss
+    that touches only the SDF head (the sdf-consistency shape)."""
+    params, x = setup
+    ops = _ops(jnp.float32)
+
+    def loss_k(p, xx):
+        return jnp.mean(jnp.abs(ops.value_diff(p, xx) - 0.07))
+
+    def loss_r(p, xx):
+        return jnp.mean(jnp.abs(sdf_apply(CFG, p, xx)[..., 0] - 0.07))
 
     gk = jax.grad(loss_k)(params, x)
     gr = jax.grad(loss_r)(params, x)
@@ -99,7 +123,7 @@ def _loss_pair():
 
 def test_second_order_backward(setup):
     params, x = setup
-    _, _, outgrad_fn = _ops(jnp.float32)
+    outgrad_fn = _ops(jnp.float32).outgrad
     loss_k, loss_r = _loss_pair()
     gk = jax.grad(lambda p: loss_k(outgrad_fn, p, x))(params)
     gr = jax.grad(lambda p: loss_r(p, x))(params)
@@ -117,7 +141,7 @@ def test_second_order_backward(setup):
 
 def test_second_order_backward_bf16_bounded(setup):
     params, x = setup
-    _, _, outgrad_fn = _ops(jnp.bfloat16)
+    outgrad_fn = _ops(jnp.bfloat16).outgrad
     loss_k, loss_r = _loss_pair()
     gk = jax.grad(lambda p: loss_k(outgrad_fn, p, x))(params)
     gr = jax.grad(lambda p: loss_r(p, x))(params)
