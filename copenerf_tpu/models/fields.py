@@ -155,6 +155,21 @@ def fused_sdf_enabled() -> bool:
     return _FUSED_SDF_MODE == "on"
 
 
+# The fused color kernel is opt-in (never 'auto'): inside the train step it
+# measured slower than XLA despite winning standalone — see color_apply.
+_FUSED_COLOR_MODE = "off"  # "on" | "off"
+
+
+def set_fused_color(mode: str) -> None:
+    global _FUSED_COLOR_MODE
+    assert mode in ("on", "off"), mode
+    _FUSED_COLOR_MODE = mode
+
+
+def _fused_color_enabled() -> bool:
+    return _FUSED_COLOR_MODE == "on"
+
+
 def sdf_value_nograd(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     """SDF value only, for stop-gradient regions (importance sweeps,
     marching-cubes grids). Shape (..., 4) -> (...,)."""
@@ -299,6 +314,17 @@ def color_apply(cfg: ColorConfig, params: dict, points, normals, view_dirs,
     if cfg.use_negative_ray_vector:
         view_dirs = -view_dirs
         normals = -normals
+    if cfg.mode == "idr" and _fused_color_enabled():
+        # Fused Pallas path (OPT-IN, see _FUSED_COLOR_MODE): concatenates the
+        # four components in VMEM. Measured STANDALONE 2x faster than XLA
+        # (5.3 vs 10.2 ms fwd+bwd at 131k pts, v5e) but ~0.8 ms SLOWER inside
+        # the full train step, where XLA fuses the color chain into the
+        # surrounding graph (compositing cotangents in, sdf-kernel outputs
+        # out) and the opaque custom call severs those fusions. Kept for
+        # contexts without that surrounding graph.
+        from ..ops.pallas.color_kernels import get_fused_color
+        return get_fused_color(cfg)(params, points, view_dirs, normals,
+                                    feature_vectors)
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
     if cfg.mode == "idr":
@@ -309,11 +335,6 @@ def color_apply(cfg: ColorConfig, params: dict, points, normals, view_dirs,
         h = jnp.concatenate([points, view_dirs, feature_vectors], -1)
     else:
         raise ValueError(cfg.mode)
-    # NOTE: a fused Pallas color kernel was measured SLOWER than XLA here
-    # (6.3 vs 5.4 ms fwd+bwd at 131k pts): the shallow 5-linear chain gains
-    # less from VMEM-resident activations than it loses materializing the
-    # (N, 291) concat input for the kernel, which XLA fuses into the first
-    # matmul. The SDF net (9 linears + double backprop) is where fusion pays.
     num_layers = len(cfg.dims)
     for l in range(num_layers - 1):
         h = linear_apply(params[f"lin{l}"], h)

@@ -53,6 +53,9 @@ class Trainer:
         np.random.seed(self.seed)
         self._base_key = jax.random.PRNGKey(self.seed)
 
+        from ..models.fields import set_fused_sdf
+
+        set_fused_sdf(tr.get("fused_kernels", "auto"))
         self.field_cfgs = configs_from_cfg(cfg)
         self.rcfg = RendererConfig.from_cfg(cfg)
 

@@ -153,6 +153,65 @@ def test_second_order_backward_bf16_bounded(setup):
     K._COMPUTE_DTYPE = jnp.float32  # restore module default
 
 
+def test_color_kernel_parity():
+    """Fused color kernel (interpret) vs the XLA color_apply oracle:
+    forward, parameter grads, and grads w.r.t. every input."""
+    from copenerf_tpu.models import fields as F
+    from copenerf_tpu.ops.pallas.color_kernels import get_fused_color
+
+    ccfg = F.ColorConfig(d_feature=32, d_in=11, d_hidden=48, n_layers=3,
+                         multires_view=4, weight_norm=True, squeeze_out=True)
+    params = F.color_init(jax.random.PRNGKey(0), ccfg)
+    k = jax.random.split(jax.random.PRNGKey(1), 4)
+    pts = jax.random.normal(k[0], (20, 4))
+    dirs = jax.random.normal(k[1], (20, 3))
+    grads = jax.random.normal(k[2], (20, 4))
+    feat = jax.random.normal(k[3], (20, 32))
+    color_fn = get_fused_color(ccfg, tile=8, interpret=True)
+
+    c_k = color_fn(params, pts, dirs, grads, feat)
+    # NB color_apply's argument order is (points, normals, view_dirs, feat).
+    c_r = F.color_apply(ccfg, params, pts, grads, dirs, feat)
+    np.testing.assert_allclose(c_k, c_r, rtol=0, atol=5e-6)
+
+    def loss_k(p, x, d, g, f):
+        return jnp.sum(jnp.sin(3.0 * color_fn(p, x, d, g, f)))
+
+    def loss_r(p, x, d, g, f):
+        return jnp.sum(jnp.sin(3.0 * F.color_apply(ccfg, p, x, g, d, f)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(params, pts, dirs, grads,
+                                                   feat)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(params, pts, dirs, grads,
+                                                   feat)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_color_kernel_negative_ray_and_routing():
+    """color_apply with fused mode forced on equals the plain path, including
+    the use_negative_ray_vector flip."""
+    from copenerf_tpu.models import fields as F
+
+    ccfg = F.ColorConfig(d_feature=16, d_in=11, d_hidden=32, n_layers=2,
+                         multires_view=2, weight_norm=True, squeeze_out=True,
+                         use_negative_ray_vector=True)
+    params = F.color_init(jax.random.PRNGKey(5), ccfg)
+    k = jax.random.split(jax.random.PRNGKey(6), 4)
+    pts = jax.random.normal(k[0], (12, 4))
+    dirs = jax.random.normal(k[1], (12, 3))
+    grads = jax.random.normal(k[2], (12, 4))
+    feat = jax.random.normal(k[3], (12, 16))
+    F.set_fused_color("on")
+    try:
+        c_fused = F.color_apply(ccfg, params, pts, grads, dirs, feat)
+    finally:
+        F.set_fused_color("off")
+    c_plain = F.color_apply(ccfg, params, pts, grads, dirs, feat)
+    np.testing.assert_allclose(c_fused, c_plain, rtol=0, atol=5e-6)
+
+
 def test_routing_matches_plain(setup):
     """sdf_output_and_gradient with fused mode forced on (interpret) equals
     the plain path."""
