@@ -198,3 +198,68 @@ def test_full_render_train_parity_fixed_noise():
     np.testing.assert_allclose(np.asarray(out["depth_pred"]),
                                ref["depth_pred"].numpy(), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_naive_up_sample_and_pdf_parity():
+    """Logistic-density variant (reference up_sample_naive :226-280 +
+    sample_pdf_naive :72-104)."""
+    from copenerf_tpu.ops.sampling import sample_pdf as our_sample_pdf
+    from copenerf_tpu.ops.sampling import up_sample_naive
+    from model.neus_renderer import sample_pdf_naive as ref_sample_pdf_naive
+
+    renderer = _build_reference_renderer()
+    rng = np.random.RandomState(7)
+    rays_o, rays_d, _ = _rand_rays(8, 7)
+    z_vals = np.sort(rng.rand(8, 64).astype(np.float32) * 4 + 0.01, axis=-1)
+    sdf = (rng.randn(8, 64) * 0.3).astype(np.float32)
+
+    ref = renderer.up_sample_naive(torch.from_numpy(rays_o),
+                                   torch.from_numpy(rays_d),
+                                   torch.from_numpy(z_vals),
+                                   torch.from_numpy(sdf), 16, 64.0).numpy()
+    ours = np.asarray(up_sample_naive(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(z_vals),
+        jnp.asarray(sdf), 16, 64.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    # sample_pdf_naive directly (no zero prepend)
+    bins = np.sort(rng.rand(8, 64).astype(np.float32) * 5, axis=-1)
+    weights = rng.rand(8, 64).astype(np.float32)
+    ref_s = ref_sample_pdf_naive(torch.from_numpy(bins),
+                                 torch.from_numpy(weights), 16,
+                                 det=True).numpy()
+    ours_s = np.asarray(our_sample_pdf(jnp.asarray(bins),
+                                       jnp.asarray(weights), 16,
+                                       prepend_zero=False))
+    np.testing.assert_allclose(ours_s, ref_s, rtol=1e-4, atol=1e-4)
+
+
+def test_render_core_outside_parity():
+    """Background NeRF++ path (reference render_core_outside :137-176):
+    inactive by default but kept for parity — verify it is actually at
+    parity."""
+    from copenerf_tpu.ops.renderer import render_core_outside
+
+    renderer = _build_reference_renderer()
+    renderer.n_outside = 32  # pts get the 4th (1/dis) coordinate
+    params = _ingest(renderer)
+    rng = np.random.RandomState(11)
+    rays_o, rays_d, _ = _rand_rays(6, 11)
+    z_vals = np.sort(rng.rand(6, 32).astype(np.float32) * 6 + 0.05, axis=-1)
+    sample_dist = 0.0625
+
+    with torch.no_grad():
+        ref = renderer.render_core_outside(
+            torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+            torch.from_numpy(z_vals), sample_dist, renderer.nerf,
+            background_rgb=None)
+    ours = render_core_outside(
+        FIELD_CFGS["nerf"], params["nerf"], jnp.asarray(rays_o),
+        jnp.asarray(rays_d), jnp.asarray(z_vals), sample_dist,
+        background_rgb=None)
+    np.testing.assert_allclose(np.asarray(ours["color"]),
+                               ref["color"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours["alpha"]),
+                               ref["alpha"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours["weights"]),
+                               ref["weights"].numpy(), rtol=2e-4, atol=2e-4)
