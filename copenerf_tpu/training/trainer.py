@@ -670,6 +670,16 @@ class Trainer:
             # (per-scalar float() fetches would round-trip the transport
             # hundreds of times per epoch).
             epoch_losses = jax.device_get(dict(epoch_losses))
+            # NaN hard abort (reference model/training.py:532-533 asserts per
+            # iteration; checking at the once-per-epoch host fetch keeps the
+            # device pipeline free of per-step syncs).
+            if not np.all(np.isfinite(epoch_losses["loss"])):
+                bad = int(np.flatnonzero(
+                    ~np.isfinite(epoch_losses["loss"]))[0])
+                raise FloatingPointError(
+                    f"non-finite training loss in epoch {epoch_it} "
+                    f"(iteration {bad} of the epoch); aborting like the "
+                    "reference NaN assert")
             l2_epoch = float(np.mean(epoch_losses["l2_mean"]))
             psnr = float(-10.0 * np.log10(max(l2_epoch, 1e-10)))
             self.logger.add_scalar("stats/psnr", psnr, epoch_it)

@@ -99,3 +99,29 @@ def test_resume_from_checkpoint(scene, tmp_path):
     # Continue across the stage-2 boundary.
     t2.train(max_epochs=2)
     assert t2.epoch_it >= 3
+
+
+def test_nan_loss_abort(scene, tmp_path):
+    """A poisoned parameter set must abort training with the NaN guard
+    (reference model/training.py:532-533)."""
+    import jax.numpy as jnp
+
+    path, name = scene
+    cfg = _tiny_cfg(path, name, str(tmp_path / "nan_out"))
+    trainer = Trainer(cfg, verbose=False)
+    params = trainer.state["params"]
+    params["sdf"]["lin0"]["b"] = jnp.full_like(params["sdf"]["lin0"]["b"],
+                                               np.nan)
+    with pytest.raises(FloatingPointError):
+        trainer.train(max_epochs=1)
+
+
+def test_check_sentinels():
+    from copenerf_tpu.utils.checks import check_params, check_tensor
+
+    good = {"a": np.ones((3,)), "b": {"c": np.zeros((2, 2))}}
+    assert check_params(good) == []
+    bad = {"a": np.array([1.0, np.nan])}
+    assert check_params(bad) == ["['a']"]
+    assert not check_tensor(np.ones(3), "x")
+    assert check_tensor(np.array([np.inf]), "y")
