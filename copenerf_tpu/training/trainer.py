@@ -150,8 +150,9 @@ class Trainer:
         self.w_edge = tr["edge_aware_smoothness_weight"][0]
         self.w_smooth = tr["smoothness_weight"][0]
 
-        self.image_renderer = ImageRenderer(self.field_cfgs, self.rcfg,
-                                            chunk=4096)
+        self.image_renderer = ImageRenderer(
+            self.field_cfgs, self.rcfg,
+            chunk=tr.get("render_chunk", 32768))
         # Ray-sharding mesh over the visible chips (replaces DataParallel).
         # With training.distributed, the same ('data',) mesh spans every
         # process's chips (ICI in-slice, DCN across hosts) — see
