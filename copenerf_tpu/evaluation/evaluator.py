@@ -105,11 +105,14 @@ class Evaluator(Trainer):
                     pose_params, opt_state, view, key, jnp.asarray(lr),
                     jnp.asarray(self.depth_range[0], jnp.float32),
                     jnp.asarray(self.depth_range[1], jnp.float32))
-                l2s.append(float(l2))
+                l2s.append(l2)  # device scalar; fetching here would stall
             if epoch in milestones:
                 lr *= gamma
             if epoch % 10 == 0:
-                psnr_v = -10 * np.log10(max(np.mean(l2s), 1e-10))
+                # One batched fetch per log line keeps the device pipeline
+                # busy the other 10*n_views steps.
+                psnr_v = -10 * np.log10(
+                    max(np.mean(jax.device_get(l2s)), 1e-10))
                 self._log(f"eval pose epoch {epoch}: psnr {psnr_v:.2f}")
         self.pose_retriever_test = (pose_params, init_c2w)
         save_pytree(cache, {"r": pose_params["r"], "t": pose_params["t"],
