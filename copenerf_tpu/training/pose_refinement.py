@@ -107,30 +107,36 @@ def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,
                                          updates)
         return params2, opt_state2, loss
 
+    def chained_poses(params):
+        rel_all = np.asarray(make_c2w(params["r"], params["t"]) @ init_c2w)
+        w2c = np.asarray(w2c_mappings(jnp.asarray(rel_all)))
+        return np.linalg.inv(w2c).astype(np.float32)
+
     loss_window = []
     cur_lr = lr
     milestones = set(range(30, 10000, 10))
-    pred_poses = None
+    ran_any = False
     for epoch in range(epochs):
-        running = 0.0
+        ran_any = True
+        batch_losses, batch_sizes = [], []
         for start in range(0, n_pairs, batch_size):
             idx = jnp.arange(start, min(start + batch_size, n_pairs))
             params, opt_state, loss = refine_step(params, opt_state, idx,
                                                   jnp.asarray(cur_lr))
-            running += float(loss) * len(idx)
+            batch_losses.append(loss)  # device scalar; keep pipeline busy
+            batch_sizes.append(len(idx))
         if epoch in milestones:
             cur_lr *= 0.9
-        running /= n_pairs
+        # One batched fetch per epoch (needed for the convergence window).
+        running = float(np.dot(jax.device_get(batch_losses),
+                               batch_sizes)) / n_pairs
 
-        rel_all = np.asarray(
-            make_c2w(params["r"], params["t"]) @ init_c2w)
-        w2c = np.asarray(w2c_mappings(jnp.asarray(rel_all)))
-        pred_poses = np.linalg.inv(w2c).astype(np.float32)
         if logger is not None:
             logger.add_scalar(f"{log_prefix}/_loss", running, epoch)
             logger.add_scalar(f"{log_prefix}/lr", cur_lr, epoch)
             if gt_poses is not None and pose_error_fn is not None:
-                _, rpe_t, rpe_r, ate = pose_error_fn(pred_poses, gt_poses)
+                _, rpe_t, rpe_r, ate = pose_error_fn(chained_poses(params),
+                                                     gt_poses)
                 logger.add_scalar(f"{log_prefix}/rpe_trans", rpe_t, epoch)
                 logger.add_scalar(f"{log_prefix}/rpe_rot", rpe_r, epoch)
                 logger.add_scalar(f"{log_prefix}/ate", ate, epoch)
@@ -140,7 +146,7 @@ def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,
         loss_window.append(running)
         if len(loss_window) == 50 and np.std(loss_window) <= convergence_std:
             break
-    return pred_poses
+    return chained_poses(params) if ran_any else None
 
 
 def motion_init_relative_poses(motion_cfg, motion_params, i_train,
