@@ -31,17 +31,27 @@ class ImageRenderer:
     """
 
     def __init__(self, field_cfgs: dict, rcfg: RendererConfig,
-                 chunk: int = 32768):
+                 chunk: int = 32768, mesh=None):
         self.field_cfgs = field_cfgs
         self.rcfg = rcfg
         self.chunk = chunk
         self.min_chunk = 1024
+        if mesh is not None:
+            # Shard each chunk's rays across the mesh (eval scales over
+            # chips like training does); chunks stay multiples of the mesh.
+            self.min_chunk = max(self.min_chunk, mesh.size)
+
+        from ..parallel.mesh import shard_rays
 
         @jax.jit
         def _chunk_fn(params, pixels, camera_mat, world_mat, scale_mat,
                       time_step, near, far, cos_anneal_ratio):
+            pixels = shard_rays(mesh, pixels)
             rays_o, rays_d, rays_d_norm = rays_from_pixels(
                 pixels, camera_mat, world_mat, scale_mat)
+            rays_o = shard_rays(mesh, rays_o)
+            rays_d = shard_rays(mesh, rays_d)
+            rays_d_norm = shard_rays(mesh, rays_d_norm)
             n = rays_o.shape[0]
             near_v = jnp.full((n, 1), 1.0) * near
             far_v = jnp.full((n, 1), 1.0) * far

@@ -150,9 +150,6 @@ class Trainer:
         self.w_edge = tr["edge_aware_smoothness_weight"][0]
         self.w_smooth = tr["smoothness_weight"][0]
 
-        self.image_renderer = ImageRenderer(
-            self.field_cfgs, self.rcfg,
-            chunk=tr.get("render_chunk", 32768))
         # Ray-sharding mesh over the visible chips (replaces DataParallel).
         # With training.distributed, the same ('data',) mesh spans every
         # process's chips (ICI in-slice, DCN across hosts) — see
@@ -172,6 +169,9 @@ class Trainer:
 
                 self.mesh = make_mesh(n_dev)
                 self._log(f"Sharding rays over {n_dev} devices")
+        self.image_renderer = ImageRenderer(
+            self.field_cfgs, self.rcfg,
+            chunk=tr.get("render_chunk", 32768), mesh=self.mesh)
         self._steps = {}
         self.query_in_canonical_space = False
         self.pose_retriever = None  # (params, init_c2w) in stage 2

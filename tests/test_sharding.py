@@ -80,3 +80,26 @@ def test_distributed_helpers_single_process():
                             mesh=mesh)
     state, metrics = step(state, gbatch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_image_renderer_matches_single_device():
+    """Full-image eval rendering sharded over the mesh == unsharded."""
+    from copenerf_tpu.evaluation.render import ImageRenderer
+
+    mesh = make_mesh(8)
+    params = init_all_fields(jax.random.PRNGKey(0), T.FIELD_CFGS)
+    h, w = 24, 32
+    fx = fy = 30.0
+    cam = np.array([[2 * fx / w, 0, 0, 0], [0, -2 * fy / h, 0, 0],
+                    [0, 0, -1, 0], [0, 0, 0, 1]], np.float32)
+    eye = np.eye(4, dtype=np.float32)
+    args = (params, cam, eye, eye, 0.0, (h, w), (0.5, 3.5), 1.0)
+
+    r1 = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512, mesh=None)
+    r8 = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512, mesh=mesh)
+    out1 = r1.render_image(*args)
+    out8 = r8.render_image(*args)
+    for k in ("color", "depth", "normal", "weighted_z", "depth_highest"):
+        np.testing.assert_allclose(out8[k], out1[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
