@@ -33,6 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from copenerf_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from copenerf_tpu.config.loader import load_config
     from copenerf_tpu.models import configs_from_cfg, init_all_fields
     from copenerf_tpu.ops.renderer import RendererConfig

@@ -49,6 +49,9 @@ class Trainer:
         self.render_path = os.path.join(self.out_dir, "rendering")
         os.makedirs(self.render_path, exist_ok=True)
 
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.seed = tr["seed"]
         np.random.seed(self.seed)
         self._base_key = jax.random.PRNGKey(self.seed)
