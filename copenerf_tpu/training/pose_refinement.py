@@ -32,9 +32,14 @@ def _uv_grid(h: int, w: int) -> jnp.ndarray:
     return jnp.asarray(np.stack([xs, ys, np.ones_like(xs)], 0))
 
 
-def _warp_loss(img, next_img, depth, k33, uv, rel):
-    """One direction of the photometric warp loss (reference :34-61)."""
-    h, w = depth.shape
+def _warp_terms(img, next_img, depth, k33, uv, rel):
+    """One direction of the photometric warp loss (reference :34-61).
+
+    Returns (masked-abs-diff sum, valid-pixel count) for ONE pair; the
+    caller forms the reference's batch-wide ratio
+    ``sum_pairs(num) / sum_pairs(den)`` (``compute_loss_and_warp_image``
+    divides by the mask sum of the whole 16-pair batch, not per pair).
+    """
     xyz = jnp.linalg.inv(k33) @ (uv * depth[None]).reshape(3, -1)
     tx = rel[:3, :3] @ xyz + rel[:3, 3:]
     uvt = k33 @ tx
@@ -47,8 +52,17 @@ def _warp_loss(img, next_img, depth, k33, uv, rel):
                             jnp.abs(uv2[1]) <= 1.0).astype(jnp.float32)
     warped = grid_sample_bilinear(next_img, uv2.T)          # (h*w, 3)
     img_flat = img.reshape(3, -1).T
-    return (jnp.sum(jnp.abs(warped - img_flat) * valid[:, None]) /
-            (jnp.sum(valid) + 1e-10))
+    num = jnp.sum(jnp.abs(warped - img_flat) * valid[:, None])
+    return num, jnp.sum(valid)
+
+
+def batched_warp_loss(images, next_images, depths, k33, uv, rels):
+    """Reference ``compute_loss_and_warp_image`` loss over a pair batch:
+    one ratio of batch-wide sums (:34-61)."""
+    nums, dens = jax.vmap(
+        lambda i, n, d, k, r: _warp_terms(i, n, d, k, uv, r))(
+            images, next_images, depths, k33, rels)
+    return jnp.sum(nums) / (jnp.sum(dens) + 1e-10)
 
 
 def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,

@@ -117,6 +117,167 @@ def init_train_state(params: dict) -> dict:
     }
 
 
+def compute_losses(field_cfgs: dict, rcfg: RendererConfig, s: StepStatic,
+                   params: dict, batch: dict, ray_idx, key=None, t_rand=None,
+                   mesh=None):
+    """Full per-step loss stack given explicit ray indices.
+
+    Pure function of (params, batch, ray_idx, render randomness): the
+    injectable surface the golden aux-loss parity tests drive against the
+    reference's inline block (``/root/reference/train.py:458-526``). The
+    jitted step samples ``ray_idx`` on-device and calls this.
+
+    ``t_rand`` (n, n_uniform) overrides the stratified jitter (tests);
+    otherwise ``key`` supplies it.
+    """
+    from ..parallel.mesh import shard_rays
+
+    p, p_norm = _pixels_from_indices(ray_idx, s.h, s.w)
+    # The whole dataset stays device-resident; per-step image selection is
+    # an on-device gather.
+    image = _gather_image(batch["images_all"], batch["image_idx"])
+    camera_mat = batch["K_all"][batch["image_idx"]]
+    img_flat = image.reshape(3, s.h * s.w)
+    ray_idx = shard_rays(mesh, ray_idx)
+    p = shard_rays(mesh, p)
+    p_norm = shard_rays(mesh, p_norm)
+    rgb_gt = shard_rays(mesh, img_flat[:, ray_idx].T)    # (N, 3)
+
+    rays_o, rays_d, rays_d_norm = rays_from_pixels(
+        p_norm, camera_mat, batch["world_mat"], batch["scale_mat"])
+    rays_o = shard_rays(mesh, rays_o)
+    rays_d = shard_rays(mesh, rays_d)
+    rays_d_norm = shard_rays(mesh, rays_d_norm)
+    n = rays_o.shape[0]
+    near = jnp.full((n, 1), 1.0) * batch["near"]
+    far = jnp.full((n, 1), 1.0) * batch["far"]
+
+    out = render(field_cfgs, params, rays_o, rays_d, rays_d_norm,
+                 batch["query_time_step"], near, far, rcfg=rcfg,
+                 cos_anneal_ratio=batch["cos_anneal_ratio"],
+                 use_importance=s.use_importance, train=True,
+                 key=key, t_rand=t_rand)
+
+    w = batch["loss_weights"]
+    rgb_loss = rgb_l1_loss(out["color_fine"], rgb_gt)
+    l2_mean = jnp.mean((out["color_fine"] - rgb_gt) ** 2)
+    eik_loss = eikonal_loss(out["normals"])
+
+    sdf_loss = jnp.zeros(())
+    flow_rgb_loss = jnp.zeros(())
+    sdf_cons_loss = jnp.zeros(())
+    edge_loss = jnp.zeros(())
+    smooth_loss = jnp.zeros(())
+
+    if s.stage1:
+        pts = out["sampled_points"].reshape(-1, 3)
+        weights_flat = out["weights"].reshape(-1)
+        # --- sdf-flow loss (train.py:467-477) ---
+        omega, vel = motion_apply(
+            field_cfgs["motion"], params["motion"],
+            batch["query_time_step"].reshape(1, 1))
+        scene_flow = jnp.cross(jnp.broadcast_to(omega[0], pts.shape),
+                               pts) + vel[0]
+        sdf_loss = sdf_flow_loss(scene_flow, out["normals"],
+                                 out["sdf_flows"], weights_flat)
+
+        if s.use_flow_rgb or s.use_sdf_consistency:
+            w2c_all = full_video_w2c(field_cfgs["motion"],
+                                     params["motion"], s.n_images,
+                                     s.nb_sample_timestep)
+            inv_here = se3_inverse(w2c_all[batch["image_idx"]])
+            # Gate: the reference computes this block only when the ref
+            # list is non-empty (train.py:479).
+            any_ref = jnp.max(batch["ref_in_list"]) > 0
+
+            if s.use_sdf_consistency:
+                cw2 = w2c_all[batch["world_cam_idx"]] @ inv_here
+                if not s.sdf_cons_pose_grad:
+                    cw2 = jax.lax.stop_gradient(cw2)
+                pts_world = pts @ cw2[:3, :3].T + cw2[:3, 3]
+                pts_world_t = jnp.concatenate(
+                    [pts_world,
+                     jnp.full_like(pts_world[:, :1],
+                                   1.0) * batch["world_time_step"]],
+                    axis=-1)
+                sdf_w = sdf_scalar(field_cfgs["sdf"], params["sdf"],
+                                   pts_world_t)
+                active = jnp.logical_and(
+                    any_ref,
+                    batch["image_idx"] != batch["world_cam_idx"])
+                sdf_cons_loss = jnp.where(
+                    active,
+                    jnp.mean(jnp.abs(sdf_w - out["sdf"].reshape(-1))),
+                    0.0)
+
+            if s.use_flow_rgb:
+                ray_weights = out["weights"][..., None]     # (N, S, 1)
+                pts_r = out["sampled_points"]               # (N, S, 3)
+
+                def one_ref(t):
+                    ref_idx = jnp.clip(batch["ref_idxs"][t], 0,
+                                       s.n_images - 1)
+                    w2c_t = w2c_all[ref_idx] @ inv_here
+                    pts_map = pts_r @ w2c_t[:3, :3].T + w2c_t[:3, 3]
+                    wpm = jnp.sum(ray_weights * pts_map, axis=1)  # (N,3)
+                    proj = (batch["scale_mat"][:3, :3] @
+                            batch["K_all"][ref_idx][:3, :3])
+                    pix = wpm @ proj.T
+                    z = pix[:, 2:]
+                    z_safe = jnp.where(jnp.abs(z) < 1e-8,
+                                       jnp.where(z < 0, -1e-8, 1e-8), z)
+                    pix2 = pix[:, :2] / z_safe
+                    flow = pix2 - p_norm
+                    flow = flow * jnp.asarray([s.w / 2.0, s.h / 2.0])
+                    corr = p + flow
+                    in_bounds = jnp.logical_and(
+                        jnp.all(corr >= 0, axis=1),
+                        jnp.all(corr < jnp.asarray(
+                            [float(s.w), float(s.h)]), axis=1))
+                    valid = (in_bounds.astype(jnp.float32) *
+                             batch["ref_valid_flow"][t])
+                    valid = jax.lax.stop_gradient(valid)[:, None]
+                    warped = warp_pixels(
+                        _gather_image(batch["images_all"], ref_idx),
+                        corr, normalize=True)
+                    return (jnp.sum(jnp.abs(warped - rgb_gt) * valid) /
+                            (jnp.sum(valid) + 1e-10))
+
+                losses_t = jnp.stack(
+                    [one_ref(t) for t in range(s.n_ref)])
+                flow_rgb_loss = jnp.where(
+                    any_ref, jnp.sum(losses_t) / 3.0, 0.0)
+
+    ps = s.patch_size
+    if ps > 1:
+        n_patches = s.n_points // (ps * ps)
+        disp = out["depth_pred"].reshape(n_patches, ps, ps, 1)
+        rgb_grid = rgb_gt.reshape(n_patches, ps, ps, 3)
+        scale = 1.0 / (2 ** s.smooth_scale)
+        edge_loss = scale * edge_aware_smoothness_loss(disp, rgb_grid)
+        smooth_loss = scale * smoothness_loss(disp)
+
+    total = (w["rgb"] * rgb_loss + w["eikonal"] * eik_loss +
+             w["sdf"] * sdf_loss + w["flow_rgb"] * flow_rgb_loss +
+             w["sdf_consistency"] * sdf_cons_loss +
+             w["edge_smooth"] * edge_loss + w["smooth"] * smooth_loss)
+
+    metrics = {
+        "loss": total, "loss_rgb": rgb_loss, "loss_eikonal": eik_loss,
+        "l2_mean": l2_mean, "loss_sdf": sdf_loss,
+        "loss_flow_rgb": flow_rgb_loss,
+        "sdf_consistency_loss": sdf_cons_loss,
+        "edge_aware_smoothness_loss": edge_loss,
+        "smoothness_loss": smooth_loss,
+        "s_val": jnp.mean(out["s_val"]),
+        "cdf_fine": jnp.mean(out["cdf_fine"]),
+        "weight_sum": jnp.mean(out["weight_sum"]),
+        "weight_max": jnp.mean(out["weight_max"]),
+        "psnr": -10.0 * jnp.log10(jnp.maximum(l2_mean, 1e-10)),
+    }
+    return total, metrics
+
+
 def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
                      static: StepStatic, mesh=None):
     """Return a jitted ``step(state, batch, key) -> (state, metrics)``.
@@ -126,8 +287,6 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
     inserts the gradient all-reduce over ICI. ``n_points`` must divide the
     mesh size.
     """
-    from ..parallel.mesh import shard_rays
-
     tx = make_optimizers()
     s = static
 
@@ -139,150 +298,8 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
         k_patch, k_render = jax.random.split(key)
         ray_idx = sample_patch_indices(k_patch, s.h, s.w, s.patch_size,
                                        s.n_points)
-        p, p_norm = _pixels_from_indices(ray_idx, s.h, s.w)
-        # The whole dataset stays device-resident; per-step image selection is
-        # an on-device gather.
-        image = _gather_image(batch["images_all"], batch["image_idx"])
-        camera_mat = batch["K_all"][batch["image_idx"]]
-        img_flat = image.reshape(3, s.h * s.w)
-        ray_idx = shard_rays(mesh, ray_idx)
-        p = shard_rays(mesh, p)
-        p_norm = shard_rays(mesh, p_norm)
-        rgb_gt = shard_rays(mesh, img_flat[:, ray_idx].T)    # (N, 3)
-
-        rays_o, rays_d, rays_d_norm = rays_from_pixels(
-            p_norm, camera_mat, batch["world_mat"], batch["scale_mat"])
-        rays_o = shard_rays(mesh, rays_o)
-        rays_d = shard_rays(mesh, rays_d)
-        rays_d_norm = shard_rays(mesh, rays_d_norm)
-        n = rays_o.shape[0]
-        near = jnp.full((n, 1), 1.0) * batch["near"]
-        far = jnp.full((n, 1), 1.0) * batch["far"]
-
-        out = render(field_cfgs, params, rays_o, rays_d, rays_d_norm,
-                     batch["query_time_step"], near, far, rcfg=rcfg,
-                     cos_anneal_ratio=batch["cos_anneal_ratio"],
-                     use_importance=s.use_importance, train=True,
-                     key=k_render)
-
-        w = batch["loss_weights"]
-        rgb_loss = rgb_l1_loss(out["color_fine"], rgb_gt)
-        l2_mean = jnp.mean((out["color_fine"] - rgb_gt) ** 2)
-        eik_loss = eikonal_loss(out["normals"])
-
-        sdf_loss = jnp.zeros(())
-        flow_rgb_loss = jnp.zeros(())
-        sdf_cons_loss = jnp.zeros(())
-        edge_loss = jnp.zeros(())
-        smooth_loss = jnp.zeros(())
-
-        if s.stage1:
-            pts = out["sampled_points"].reshape(-1, 3)
-            weights_flat = out["weights"].reshape(-1)
-            # --- sdf-flow loss (train.py:467-477) ---
-            omega, vel = motion_apply(
-                field_cfgs["motion"], params["motion"],
-                batch["query_time_step"].reshape(1, 1))
-            scene_flow = jnp.cross(jnp.broadcast_to(omega[0], pts.shape),
-                                   pts) + vel[0]
-            sdf_loss = sdf_flow_loss(scene_flow, out["normals"],
-                                     out["sdf_flows"], weights_flat)
-
-            if s.use_flow_rgb or s.use_sdf_consistency:
-                w2c_all = full_video_w2c(field_cfgs["motion"],
-                                         params["motion"], s.n_images,
-                                         s.nb_sample_timestep)
-                inv_here = se3_inverse(w2c_all[batch["image_idx"]])
-                # Gate: the reference computes this block only when the ref
-                # list is non-empty (train.py:479).
-                any_ref = jnp.max(batch["ref_in_list"]) > 0
-
-                if s.use_sdf_consistency:
-                    cw2 = w2c_all[batch["world_cam_idx"]] @ inv_here
-                    if not s.sdf_cons_pose_grad:
-                        cw2 = jax.lax.stop_gradient(cw2)
-                    pts_world = pts @ cw2[:3, :3].T + cw2[:3, 3]
-                    pts_world_t = jnp.concatenate(
-                        [pts_world,
-                         jnp.full_like(pts_world[:, :1],
-                                       1.0) * batch["world_time_step"]],
-                        axis=-1)
-                    sdf_w = sdf_scalar(field_cfgs["sdf"], params["sdf"],
-                                       pts_world_t)
-                    active = jnp.logical_and(
-                        any_ref,
-                        batch["image_idx"] != batch["world_cam_idx"])
-                    sdf_cons_loss = jnp.where(
-                        active,
-                        jnp.mean(jnp.abs(sdf_w - out["sdf"].reshape(-1))),
-                        0.0)
-
-                if s.use_flow_rgb:
-                    ray_weights = out["weights"][..., None]     # (N, S, 1)
-                    pts_r = out["sampled_points"]               # (N, S, 3)
-
-                    def one_ref(t):
-                        ref_idx = jnp.clip(batch["ref_idxs"][t], 0,
-                                           s.n_images - 1)
-                        w2c_t = w2c_all[ref_idx] @ inv_here
-                        pts_map = pts_r @ w2c_t[:3, :3].T + w2c_t[:3, 3]
-                        wpm = jnp.sum(ray_weights * pts_map, axis=1)  # (N,3)
-                        proj = (batch["scale_mat"][:3, :3] @
-                                batch["K_all"][ref_idx][:3, :3])
-                        pix = wpm @ proj.T
-                        z = pix[:, 2:]
-                        z_safe = jnp.where(jnp.abs(z) < 1e-8,
-                                           jnp.where(z < 0, -1e-8, 1e-8), z)
-                        pix2 = pix[:, :2] / z_safe
-                        flow = pix2 - p_norm
-                        flow = flow * jnp.asarray([s.w / 2.0, s.h / 2.0])
-                        corr = p + flow
-                        in_bounds = jnp.logical_and(
-                            jnp.all(corr >= 0, axis=1),
-                            jnp.all(corr < jnp.asarray(
-                                [float(s.w), float(s.h)]), axis=1))
-                        valid = (in_bounds.astype(jnp.float32) *
-                                 batch["ref_valid_flow"][t])
-                        valid = jax.lax.stop_gradient(valid)[:, None]
-                        warped = warp_pixels(
-                            _gather_image(batch["images_all"], ref_idx),
-                            corr, normalize=True)
-                        return (jnp.sum(jnp.abs(warped - rgb_gt) * valid) /
-                                (jnp.sum(valid) + 1e-10))
-
-                    losses_t = jnp.stack(
-                        [one_ref(t) for t in range(s.n_ref)])
-                    flow_rgb_loss = jnp.where(
-                        any_ref, jnp.sum(losses_t) / 3.0, 0.0)
-
-        ps = s.patch_size
-        if ps > 1:
-            n_patches = s.n_points // (ps * ps)
-            disp = out["depth_pred"].reshape(n_patches, ps, ps, 1)
-            rgb_grid = rgb_gt.reshape(n_patches, ps, ps, 3)
-            scale = 1.0 / (2 ** s.smooth_scale)
-            edge_loss = scale * edge_aware_smoothness_loss(disp, rgb_grid)
-            smooth_loss = scale * smoothness_loss(disp)
-
-        total = (w["rgb"] * rgb_loss + w["eikonal"] * eik_loss +
-                 w["sdf"] * sdf_loss + w["flow_rgb"] * flow_rgb_loss +
-                 w["sdf_consistency"] * sdf_cons_loss +
-                 w["edge_smooth"] * edge_loss + w["smooth"] * smooth_loss)
-
-        metrics = {
-            "loss": total, "loss_rgb": rgb_loss, "loss_eikonal": eik_loss,
-            "l2_mean": l2_mean, "loss_sdf": sdf_loss,
-            "loss_flow_rgb": flow_rgb_loss,
-            "sdf_consistency_loss": sdf_cons_loss,
-            "edge_aware_smoothness_loss": edge_loss,
-            "smoothness_loss": smooth_loss,
-            "s_val": jnp.mean(out["s_val"]),
-            "cdf_fine": jnp.mean(out["cdf_fine"]),
-            "weight_sum": jnp.mean(out["weight_sum"]),
-            "weight_max": jnp.mean(out["weight_max"]),
-            "psnr": -10.0 * jnp.log10(jnp.maximum(l2_mean, 1e-10)),
-        }
-        return total, metrics
+        return compute_losses(field_cfgs, rcfg, s, params, batch, ray_idx,
+                              key=k_render, mesh=mesh)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: dict, batch: dict, key) -> tuple:
