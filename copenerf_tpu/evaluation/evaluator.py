@@ -41,7 +41,19 @@ class Evaluator(Trainer):
         test_idx = list(self.test_field.i_test)
         i_train = list(self.train_field.i_train)
         train_poses = np.asarray(pose_retriever_all(*self.pose_retriever))
-        init_pos = [i_train.index(ti - 1) for ti in test_idx]
+        # The reference indexes i_train.index(ti - 1) directly (eval.py:57),
+        # which throws for splits where a test frame is not immediately
+        # preceded by a train frame (any sample_rate < 2). Guard: fall back
+        # to the nearest train frame (preceding if one exists).
+        def init_position(ti):
+            if (ti - 1) in i_train:
+                return i_train.index(ti - 1)
+            preceding = [j for j in i_train if j < ti]
+            anchor = preceding[-1] if preceding else min(
+                i_train, key=lambda j: abs(j - ti))
+            return i_train.index(anchor)
+
+        init_pos = [init_position(ti) for ti in test_idx]
         init_c2w = jnp.asarray(train_poses[init_pos])
         pose_params, _ = pose_retriever_init(len(test_idx), init_c2w)
 
@@ -153,6 +165,14 @@ class Evaluator(Trainer):
         out = {"PSNR": float(np.mean(psnrs)), "SSIM": float(np.mean(ssims))}
         if lpipss:
             out["LPIPS"] = float(np.mean(lpipss))
+        else:
+            # The reference protocol's metric triple is PSNR/SSIM/LPIPS;
+            # degrade LOUDLY, never silently (the missing key must be
+            # visible in results.txt and on the console).
+            self._log("WARNING: LPIPS unavailable (no VGG weights) — "
+                      "results omit the third protocol metric. Provide "
+                      "weights via COPENERF_LPIPS_VGG/COPENERF_LPIPS_LIN.")
+            out["LPIPS"] = "unavailable (no weights)"
         return out
 
     def depth_eval(self, gt_depths, preds, min_depth=0.1, max_depth=80.0):

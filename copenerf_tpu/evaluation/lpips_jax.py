@@ -114,12 +114,19 @@ def _unit_normalize(f, eps=1e-10):
 
 
 def lpips(params: dict, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-    """(3, H, W) images in [0, 1] -> scalar LPIPS distance."""
+    """(3, H, W) images in [0, 1] -> scalar LPIPS distance.
+
+    Protocol quirk, reproduced deliberately: the reference feeds [0, 1]
+    images straight into its in-tree LPIPS with NO [-1, 1] rescale
+    (``eval.py:201-206`` -> ``lpipsPyTorch/modules/lpips.py:30`` z-scores
+    the raw input). Standard LPIPS usage rescales first; matching the
+    reference's published numbers requires matching its convention.
+    """
     shift = jnp.asarray(_SHIFT)[None, :, None, None]
     scale = jnp.asarray(_SCALE)[None, :, None, None]
 
     def prep(im):
-        im = im[None] * 2.0 - 1.0            # -> [-1, 1], (1, 3, H, W)
+        im = im[None]                        # (1, 3, H, W), [0, 1] as-is
         return (im - shift) / scale
 
     f1 = _vgg_features(params, prep(img1))

@@ -50,21 +50,35 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
     return jnp.mean(ssim_map)
 
 
-def lpips_fn():
+def lpips_fn(verbose: bool = True):
     """Return a callable (img1, img2) -> float LPIPS(vgg), or None when no
     pretrained backbone is available (zero-egress environment).
 
     Resolution order: the native JAX implementation with user-provided
     weights (see ``lpips_jax.default_weight_paths``), then the optional
-    ``lpips`` torch package."""
+    ``lpips`` torch package. Failures are REPORTED, never silently
+    swallowed: a metric missing from the protocol triple must be visible.
+    """
+    import warnings
+
+    def report(msg):
+        if verbose:
+            warnings.warn(f"LPIPS unavailable: {msg}", stacklevel=2)
+
     try:
-        from .lpips_jax import lpips_fn_jax
+        from .lpips_jax import default_weight_paths, lpips_fn_jax
 
         fn = lpips_fn_jax()
         if fn is not None:
             return fn
-    except Exception:
-        pass
+        vgg, lin = default_weight_paths()
+        report(
+            "no VGG16/linear-head weights found "
+            f"(vgg={vgg!r}, lin={lin!r}); set COPENERF_LPIPS_VGG / "
+            "COPENERF_LPIPS_LIN or place them under "
+            "~/.cache/copenerf_tpu/lpips/")
+    except Exception as exc:  # weight files present but unreadable
+        report(f"native implementation failed to load weights: {exc!r}")
     try:
         import lpips as lpips_lib
         import torch
@@ -72,11 +86,16 @@ def lpips_fn():
         net = lpips_lib.LPIPS(net="vgg")
 
         def compute(img1, img2):
-            a = torch.from_numpy(np.asarray(img1, np.float32))[None] * 2 - 1
-            b = torch.from_numpy(np.asarray(img2, np.float32))[None] * 2 - 1
+            # No [-1, 1] rescale: the reference protocol feeds [0, 1]
+            # images straight into the scaling layer (eval.py:201-206).
+            a = torch.from_numpy(np.asarray(img1, np.float32))[None]
+            b = torch.from_numpy(np.asarray(img2, np.float32))[None]
             with torch.no_grad():
                 return float(net(a, b))
 
         return compute
-    except Exception:
-        return None
+    except ImportError:
+        pass  # optional package; the native-path warning above stands
+    except Exception as exc:
+        report(f"torch lpips package failed: {exc!r}")
+    return None

@@ -34,12 +34,21 @@ class ImageRenderer:
                  chunk: int = 32768, mesh=None):
         self.field_cfgs = field_cfgs
         self.rcfg = rcfg
-        self.chunk = chunk
         self.min_chunk = 1024
         if mesh is not None:
             # Shard each chunk's rays across the mesh (eval scales over
             # chips like training does); chunks stay multiples of the mesh.
             self.min_chunk = max(self.min_chunk, mesh.size)
+        # Honor small user-configured chunks (still >= mesh size); round the
+        # cap DOWN to a power-of-two multiple of min_chunk so the doubling
+        # loop below can never overshoot a non-power-of-two cap (the cap is
+        # an HBM-safety limit, so it must be a true maximum).
+        self.min_chunk = min(self.min_chunk, max(chunk, 1))
+        if mesh is not None:
+            self.min_chunk += (-self.min_chunk) % mesh.size
+        self.chunk = self.min_chunk
+        while self.chunk * 2 <= chunk:
+            self.chunk *= 2
 
         from ..parallel.mesh import shard_rays
 

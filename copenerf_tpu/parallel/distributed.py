@@ -41,17 +41,22 @@ def initialize(coordinator_address: str | None = None,
     pod metadata) is a silent no-op so the same entry point works everywhere.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do NOT touch jax.process_count()/jax.devices() here — querying
+    # them initializes the runtime and makes jax.distributed.initialize
+    # impossible ("must be called before any JAX computations").
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
         _initialized = True
     except Exception:
-        # Single-process / non-pod environment: nothing to wire up.
-        if num_processes not in (None, 1):
+        # Single-process / non-pod environment (no coordinator detectable),
+        # or the runtime was already up (e.g. initialize() called twice, or
+        # a prior device query in a single-process run): nothing to wire up.
+        # A real multi-process request that failed must not be swallowed.
+        if num_processes not in (None, 1) and jax.process_count() == 1:
             raise
         _initialized = True
 

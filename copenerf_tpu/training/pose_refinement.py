@@ -106,14 +106,13 @@ def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,
             ndep = depths[idx + 1]
             kk = k33[idx]
 
-            def pair(img_i, nxt_i, dep_i, ndep_i, k_i, rel_i):
-                pos = _warp_loss(img_i, nxt_i, dep_i, k_i, uv, rel_i)
-                neg = _warp_loss(nxt_i, img_i, ndep_i, k_i, uv,
-                                 se3_inverse(rel_i))
-                return (pos + neg) / 2.0
-
-            losses = jax.vmap(pair)(img, nxt, dep, ndep, kk, rel)
-            return jnp.mean(losses)
+            # Reference loss semantics (perform_pose_refinement :121-123):
+            # forward and backward warps each form ONE batch-wide masked
+            # ratio, then average the two directions.
+            pos = batched_warp_loss(img, nxt, dep, kk, uv, rel)
+            neg = batched_warp_loss(nxt, img, ndep, kk, uv,
+                                    jax.vmap(se3_inverse)(rel))
+            return (pos + neg) / 2.0
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)

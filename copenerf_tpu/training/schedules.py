@@ -11,21 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 
-def multistep_lr(base_lr: float, epoch: int, scheduling_start: int,
-                 scheduling_epoch: int, gamma: float, step: int = 10) -> float:
-    """MultiStepLR with milestones range(start, start + total, step)
-    (reference train.py:118-123). ``epoch`` is the number of completed
-    ``scheduler.step()`` calls (== current epoch index)."""
-    if epoch < scheduling_start:
-        return base_lr
-    n = len(range(scheduling_start, scheduling_epoch + scheduling_start, step))
-    hit = sum(1 for m in range(scheduling_start,
-                               scheduling_epoch + scheduling_start, step)
-              if m <= epoch)
-    del n
-    return base_lr * gamma ** hit
-
-
 def warmup_factor(it: int, nb_warm_up_it: int) -> float:
     """Linear warmup factor over the first ``nb_warm_up_it`` iterations
     (reference ``neus_warmup_learning_rate``, train.py:265-271)."""

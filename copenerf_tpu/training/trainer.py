@@ -157,6 +157,16 @@ class Trainer:
         # With training.distributed, the same ('data',) mesh spans every
         # process's chips (ICI in-slice, DCN across hosts) — see
         # parallel/distributed.py.
+        # Batched ray count per step: the reference's protocol is 1024
+        # (n_training_points); rays_per_step scales it to feed the chip —
+        # every loss term is a per-ray mean, so the objective is unchanged
+        # in expectation (tested in test_train_step.py).
+        self.rays_per_step = int(tr.get("rays_per_step") or
+                                 tr["n_training_points"])
+        if self.rays_per_step % (self.patch_size ** 2) != 0:
+            raise ValueError(
+                f"rays_per_step={self.rays_per_step} must be a multiple of "
+                f"patch_size^2={self.patch_size ** 2}")
         self.mesh = None
         if tr.get("distributed"):
             from ..parallel import distributed as dist
@@ -167,7 +177,7 @@ class Trainer:
                       f"{len(jax.devices())} global devices")
         else:
             n_dev = tr.get("n_devices") or len(jax.devices())
-            if n_dev > 1 and self.tr["n_training_points"] % n_dev == 0:
+            if n_dev > 1 and self.rays_per_step % n_dev == 0:
                 from ..parallel.mesh import make_mesh
 
                 self.mesh = make_mesh(n_dev)
@@ -223,7 +233,7 @@ class Trainer:
         if key not in self._steps:
             static = StepStatic(
                 h=self.h, w=self.w, patch_size=self.patch_size,
-                n_points=self.tr["n_training_points"], stage1=stage1,
+                n_points=self.rays_per_step, stage1=stage1,
                 n_images=self.total_nb_images,
                 nb_sample_timestep=self.nb_sample_timestep,
                 n_ref=self.n_ref, train_motion=train_motion,
@@ -692,7 +702,7 @@ class Trainer:
                     f"loss_epoch/{k}", float(np.mean(vals)), epoch_it)
             self.step_timer.log(self.it, epoch=epoch_it,
                                 rays_per_sec=(self.step_timer.items_per_sec *
-                                              self.tr["n_training_points"]))
+                                              self.rays_per_step))
 
             if (epoch_it % self.eval_pose_every == 0 and
                     not self.query_in_canonical_space):

@@ -31,7 +31,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache everything, including fast-to-compile programs: on a
         # tunneled backend even "fast" compiles cost a round trip.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _enabled = True
     except Exception:
         pass  # cache is an optimization, never a hard dependency

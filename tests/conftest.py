@@ -57,3 +57,127 @@ def add_reference_to_path():
         icecream = types.ModuleType("icecream")
         icecream.ic = lambda *a, **k: None
         sys.modules["icecream"] = icecream
+
+
+def _install_torchvision_stub():
+    """Stub the absent torchvision package: utils/transforms placeholders
+    plus a REAL ``models.vgg16`` (standard architecture, torch.nn layers,
+    random init) so the reference's in-tree LPIPS can be instantiated."""
+    import types
+
+    if "torchvision" in sys.modules and hasattr(sys.modules["torchvision"],
+                                                "models"):
+        return
+    import torch.nn as nn
+
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.flow_to_image = None  # only reached inside vis try/except
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.utils, tv.transforms = tvu, tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+        sys.modules["torchvision.transforms"] = tvt
+
+    models = types.ModuleType("torchvision.models")
+
+    def vgg16(weights=None, pretrained=False, **kw):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, c_in = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(c_in, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                c_in = v
+        obj = types.SimpleNamespace(features=nn.Sequential(*layers))
+        return obj
+
+    models.vgg16 = vgg16
+    models.VGG16_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+    tv.models = models
+    sys.modules["torchvision.models"] = models
+
+
+def setup_reference_trainer_env():
+    """Full environment to drive the reference *training driver* on CPU:
+    torchvision stub, populated ``model`` package attributes, cuda->cpu
+    patches, and cpu-mapped ``torch.load``. Returns the loaded reference
+    ``train`` module (cached)."""
+    add_reference_to_path()
+    _install_torchvision_stub()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if not getattr(torch, "_copenerf_cpu_patched", False):
+        torch._copenerf_cpu_patched = True
+        orig_tensor_to = torch.Tensor.to
+        orig_module_to = torch.nn.Module.to
+        orig_load = torch.load
+
+        def cpu_args(args, kwargs):
+            args = tuple(
+                "cpu" if (isinstance(a, str) and a.startswith("cuda"))
+                or (isinstance(a, torch.device) and a.type == "cuda")
+                else a for a in args)
+            dev = kwargs.get("device")
+            if (isinstance(dev, str) and dev.startswith("cuda")) or (
+                    isinstance(dev, torch.device) and dev.type == "cuda"):
+                kwargs = dict(kwargs, device="cpu")
+            return args, kwargs
+
+        def tensor_to(self, *args, **kwargs):
+            args, kwargs = cpu_args(args, kwargs)
+            return orig_tensor_to(self, *args, **kwargs)
+
+        def module_to(self, *args, **kwargs):
+            args, kwargs = cpu_args(args, kwargs)
+            return orig_module_to(self, *args, **kwargs)
+
+        def load_cpu(*a, **k):
+            k.setdefault("map_location", "cpu")
+            return orig_load(*a, **k)
+
+        torch.Tensor.to = tensor_to
+        torch.nn.Module.to = module_to
+        torch.load = load_cpu
+
+    import model
+    from model.checkpoints import CheckpointIO
+    from model.losses import EdgePreservingSmoothnessLoss, SmoothnessLoss
+    from model.neus_fields import (NeRF, MotionNetwork, RenderingNetwork,
+                                   SDFNetwork, SingleVarianceNetwork)
+    from model.neus_renderer import NeuSRenderer
+    from model.poses_retriever import PoseRetriever
+    from model.training import Trainer
+
+    for name, obj in [
+            ("CheckpointIO", CheckpointIO), ("Trainer", Trainer),
+            ("EdgePreservingSmoothnessLoss", EdgePreservingSmoothnessLoss),
+            ("SmoothnessLoss", SmoothnessLoss), ("NeRF", NeRF),
+            ("MotionNetwork", MotionNetwork),
+            ("RenderingNetwork", RenderingNetwork),
+            ("SDFNetwork", SDFNetwork),
+            ("SingleVarianceNetwork", SingleVarianceNetwork),
+            ("NeuSRenderer", NeuSRenderer),
+            ("PoseRetriever", PoseRetriever)]:
+        setattr(model, name, obj)
+
+    if "ref_train" not in sys.modules:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_train", os.path.join(REFERENCE_ROOT, "train.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_train"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["ref_train"]

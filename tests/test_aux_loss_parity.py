@@ -18,10 +18,8 @@ is packed shorter because a ref frame falls in ``i_test`` (the reference's
 masked fixed-shape reformulation of the variable-length list.
 """
 
-import importlib.util
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -33,89 +31,9 @@ pytestmark = pytest.mark.skipif(not conftest.has_reference(),
 
 conftest.add_reference_to_path()
 
-# ---------------------------------------------------------------------------
-# Stubs: torchvision is absent from this image; the reference only touches it
-# in paths we never execute (flow visualization, dataloader transforms
-# import). The ``model`` package stub from conftest needs its public
-# attributes populated so ``import model as mdl`` works inside train.py.
-# ---------------------------------------------------------------------------
-if "torchvision" not in sys.modules:
-    _tv = types.ModuleType("torchvision")
-    _tvu = types.ModuleType("torchvision.utils")
-    _tvu.flow_to_image = None  # only reached inside a try/except in vis
-    _tvt = types.ModuleType("torchvision.transforms")
-    _tv.utils, _tv.transforms = _tvu, _tvt
-    sys.modules["torchvision"] = _tv
-    sys.modules["torchvision.utils"] = _tvu
-    sys.modules["torchvision.transforms"] = _tvt
-
-import matplotlib  # noqa: E402
-
-matplotlib.use("Agg")
+conftest.setup_reference_trainer_env()
 
 import torch  # noqa: E402
-
-torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
-
-# The reference hardcodes device "cuda"; route every .to onto cpu.
-_orig_tensor_to = torch.Tensor.to
-_orig_module_to = torch.nn.Module.to
-
-
-def _cpu_args(args, kwargs):
-    args = tuple("cpu" if (isinstance(a, str) and a.startswith("cuda"))
-                 or (isinstance(a, torch.device) and a.type == "cuda")
-                 else a for a in args)
-    dev = kwargs.get("device")
-    if (isinstance(dev, str) and dev.startswith("cuda")) or (
-            isinstance(dev, torch.device) and dev.type == "cuda"):
-        kwargs = dict(kwargs, device="cpu")
-    return args, kwargs
-
-
-def _tensor_to(self, *args, **kwargs):
-    args, kwargs = _cpu_args(args, kwargs)
-    return _orig_tensor_to(self, *args, **kwargs)
-
-
-def _module_to(self, *args, **kwargs):
-    args, kwargs = _cpu_args(args, kwargs)
-    return _orig_module_to(self, *args, **kwargs)
-
-
-torch.Tensor.to = _tensor_to
-torch.nn.Module.to = _module_to
-
-_orig_load = torch.load
-
-
-def _load_cpu(*a, **k):
-    k.setdefault("map_location", "cpu")
-    return _orig_load(*a, **k)
-
-
-torch.load = _load_cpu
-
-import model  # noqa: E402  (stub package from conftest)
-from model.checkpoints import CheckpointIO  # noqa: E402
-from model.losses import (EdgePreservingSmoothnessLoss,  # noqa: E402
-                          SmoothnessLoss)
-from model.neus_fields import (NeRF, MotionNetwork,  # noqa: E402
-                               RenderingNetwork, SDFNetwork,
-                               SingleVarianceNetwork)
-from model.neus_renderer import NeuSRenderer  # noqa: E402
-from model.poses_retriever import PoseRetriever  # noqa: E402
-from model.training import Trainer as _MdlTrainer  # noqa: E402
-
-for _name, _obj in [
-        ("CheckpointIO", CheckpointIO), ("Trainer", _MdlTrainer),
-        ("EdgePreservingSmoothnessLoss", EdgePreservingSmoothnessLoss),
-        ("SmoothnessLoss", SmoothnessLoss), ("NeRF", NeRF),
-        ("MotionNetwork", MotionNetwork),
-        ("RenderingNetwork", RenderingNetwork), ("SDFNetwork", SDFNetwork),
-        ("SingleVarianceNetwork", SingleVarianceNetwork),
-        ("NeuSRenderer", NeuSRenderer), ("PoseRetriever", PoseRetriever)]:
-    setattr(model, _name, _obj)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -146,12 +64,7 @@ class _Stop(Exception):
 
 
 def _ref_train_module():
-    spec = importlib.util.spec_from_file_location(
-        "ref_train", "/root/reference/train.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_train"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    return sys.modules["ref_train"]
 
 
 @pytest.fixture(scope="module")

@@ -46,3 +46,32 @@ def test_full_evaluation(trained):
                                        "model_eval_pose.npz"))
     result2 = Evaluator(cfg, verbose=False).eval(store_output=False)
     assert np.isclose(result2["ate"], result["ate"], rtol=1e-4)
+
+
+def test_image_renderer_chunk_cap_is_true_maximum():
+    """A non-power-of-two chunk cap is rounded DOWN (HBM safety): the
+    doubling loop must never overshoot the configured maximum."""
+    import test_train_step as T
+    from copenerf_tpu.evaluation.render import ImageRenderer
+
+    r = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=48000)
+    assert r.chunk == 32768          # largest pow2 multiple of 1024 <= 48000
+    r_small = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512)
+    assert r_small.chunk == 512      # sub-1024 values honored
+
+
+def test_config_single_source_of_truth():
+    """configs/default.yaml and the packaged defaults must be ONE file
+    (round-2 review: the two copies had drifted)."""
+    import os
+
+    import yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    repo_copy = os.path.join(root, "configs", "default.yaml")
+    packaged = os.path.join(root, "copenerf_tpu", "config", "defaults.yaml")
+    assert os.path.islink(repo_copy), "configs/default.yaml must be a symlink"
+    assert os.path.realpath(repo_copy) == os.path.realpath(packaged)
+    cfg = yaml.safe_load(open(repo_copy))
+    assert cfg["training"]["fused_kernels"] == "auto"
+    assert cfg["training"]["backup_source"] is True

@@ -87,3 +87,60 @@ def test_missing_weights_resolves_none(monkeypatch):
     monkeypatch.delenv("COPENERF_LPIPS_LIN", raising=False)
     monkeypatch.setattr(os.path, "expanduser", lambda p: "/nonexistent")
     assert lpips_jax.lpips_fn_jax() is None
+
+
+def test_missing_weights_warns_loudly(monkeypatch):
+    """The eval-facing resolver must REPORT unavailability, not skip
+    silently (reference protocol triple is PSNR/SSIM/LPIPS)."""
+    monkeypatch.delenv("COPENERF_LPIPS_VGG", raising=False)
+    monkeypatch.delenv("COPENERF_LPIPS_LIN", raising=False)
+    monkeypatch.setattr(os.path, "expanduser", lambda p: "/nonexistent")
+    from copenerf_tpu.evaluation.metrics_image import lpips_fn
+
+    with pytest.warns(UserWarning, match="LPIPS unavailable"):
+        assert lpips_fn() is None
+
+
+@pytest.mark.skipif(not conftest.has_reference(),
+                    reason="reference repo not available")
+def test_golden_vs_reference_lpips(tmp_path, monkeypatch):
+    """Golden numerics vs the reference's in-tree lpipsPyTorch
+    (/root/reference/lpipsPyTorch/modules/lpips.py:8-36) with ONE set of
+    random VGG16 + linear-head weights loaded into both implementations,
+    on the reference protocol's input convention ([0, 1] images, no
+    [-1, 1] rescale — eval.py:201-206)."""
+    conftest.setup_reference_trainer_env()  # torchvision stub (real vgg16)
+    import torch
+
+    from lpipsPyTorch.modules import lpips as ref_lpips_mod
+
+    vgg_path, lin_path = _fake_checkpoints(tmp_path, "npz")
+    vgg_np = dict(np.load(vgg_path))
+    lin_np = dict(np.load(lin_path))
+
+    # Linear heads in the post-rename key layout get_state_dict produces
+    # (utils.py:22-30): 'linS.model.1.weight' -> 'S.1.weight'.
+    lin_sd = {f"{s}.1.weight": torch.from_numpy(
+        lin_np[f"lin{s}.model.1.weight"]) for s in range(5)}
+    monkeypatch.setattr(ref_lpips_mod, "get_state_dict",
+                        lambda *a, **k: lin_sd)
+
+    crit = ref_lpips_mod.LPIPS(net_type="vgg")
+    conv_sd = {}
+    for i, _, _ in _VGG_CONV_SHAPES:
+        conv_sd[f"{i}.weight"] = torch.from_numpy(
+            vgg_np[f"features.{i}.weight"])
+        conv_sd[f"{i}.bias"] = torch.from_numpy(vgg_np[f"features.{i}.bias"])
+    crit.net.layers.load_state_dict(conv_sd)
+
+    params = lpips_jax.load_weights(vgg_path, lin_path)
+
+    rng = np.random.RandomState(11)
+    for _ in range(3):
+        a = rng.rand(3, 40, 56).astype(np.float32)
+        b = np.clip(a + rng.randn(3, 40, 56).astype(np.float32) * 0.1,
+                    0, 1).astype(np.float32)
+        with torch.no_grad():
+            ref = float(crit(torch.from_numpy(a), torch.from_numpy(b)))
+        ours = float(lpips_jax.lpips(params, a, b))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)

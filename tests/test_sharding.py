@@ -98,6 +98,9 @@ def test_sharded_image_renderer_matches_single_device():
 
     r1 = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512, mesh=None)
     r8 = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512, mesh=mesh)
+    # Small chunks are honored (512 < the old 1024 floor), so the 768-pixel
+    # image genuinely exercises the multi-chunk accumulation/concat path.
+    assert r1.chunk == 512 and r8.chunk == 512
     out1 = r1.render_image(*args)
     out8 = r8.render_image(*args)
     for k in ("color", "depth", "normal", "weighted_z", "depth_highest"):

@@ -121,3 +121,63 @@ def test_nerf_params_never_updated():
     nerf_after = np.asarray(
         jax.tree_util.tree_leaves(state["params"]["nerf"])[0])
     np.testing.assert_array_equal(nerf_before, nerf_after)
+
+
+def test_scaled_batch_keeps_per_ray_semantics():
+    """rays_per_step scaling: every loss term is a per-ray (or per-sample)
+    mean, so a 4x batch over rays R1..R4 must reproduce the average of the
+    four 1024-protocol losses — exactly for the linear means (rgb, l2,
+    eikonal, smoothness), and to first order for the ratio-normalized terms
+    (sdf-flow, flow-rgb) whose denominators concentrate as the batch grows.
+    Gradients of the scaled batch must align with the averaged small-batch
+    gradients."""
+    from copenerf_tpu.training.step import compute_losses
+
+    params = init_all_fields(jax.random.PRNGKey(0), FIELD_CFGS)
+    batch = _batch(jax.random.PRNGKey(1))
+    small = _static(stage1=True)                       # n_points=64
+    big = StepStatic(**{**small.__dict__, "n_points": 256})
+
+    # Four disjoint 64-ray patch sets and their union.
+    keys = [jax.random.PRNGKey(100 + i) for i in range(4)]
+    idx_sets = [sample_patch_indices(k, H, W, 4, 64) for k in keys]
+    idx_union = jnp.concatenate(idx_sets)
+    t_rand_sets = [jax.random.uniform(jax.random.fold_in(k, 7), (64, 16))
+                   for k in keys]
+    t_rand_union = jnp.concatenate(t_rand_sets)
+
+    def value_and_grad(static, ray_idx, t_rand):
+        def f(p):
+            total, metrics = compute_losses(FIELD_CFGS, RCFG, static, p,
+                                            batch, ray_idx, t_rand=t_rand)
+            return total, metrics
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    small_runs = [value_and_grad(small, i, t)
+                  for i, t in zip(idx_sets, t_rand_sets)]
+    (big_total, big_metrics), big_grads = value_and_grad(
+        big, idx_union, t_rand_union)
+
+    # Linear per-ray means: exact agreement with the 4-run average.
+    for term in ("loss_rgb", "l2_mean", "loss_eikonal", "smoothness_loss",
+                 "edge_aware_smoothness_loss"):
+        avg = np.mean([float(m[term]) for (_, m), _ in small_runs])
+        np.testing.assert_allclose(float(big_metrics[term]), avg, rtol=1e-5,
+                                   err_msg=term)
+    # Ratio-normalized terms: same scale (they agree in expectation).
+    for term in ("loss_sdf", "loss_flow_rgb"):
+        avg = np.mean([float(m[term]) for (_, m), _ in small_runs])
+        np.testing.assert_allclose(float(big_metrics[term]), avg, rtol=0.35,
+                                   err_msg=term)
+
+    # Gradient direction: big-batch grad ~ average of small-batch grads.
+    avg_grads = jax.tree_util.tree_map(
+        lambda *gs: sum(np.asarray(g) for g in gs) / len(gs),
+        *[g for _, g in small_runs])
+    flat_big = np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(big_grads)])
+    flat_avg = np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(avg_grads)])
+    cos = np.dot(flat_big, flat_avg) / (
+        np.linalg.norm(flat_big) * np.linalg.norm(flat_avg) + 1e-12)
+    assert cos > 0.98, cos
