@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""On-hardware numerics check: fused Pallas SDF kernels vs the XLA oracle.
+
+The fused kernels (ops/pallas/sdf_kernels.py — value / value+feature /
+fused forward+gradient with a hand-derived second-order VJP) are validated
+in CI in interpreter mode only; this script runs the COMPILED kernels on the
+real TPU and compares the full render outputs AND the train-step loss +
+parameter gradients against the plain-XLA path on the same chip.
+
+Run on hardware:  python benchmarks/check_fused_on_hw.py
+Record the output in README.md.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from copenerf_tpu.config.loader import load_config
+    from copenerf_tpu.models import (configs_from_cfg, fields,
+                                     init_all_fields)
+    from copenerf_tpu.ops.renderer import RendererConfig, render
+    from copenerf_tpu.training.step import (StepStatic, compute_losses,
+                                            make_loss_weights)
+    from copenerf_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    print(f"device: {jax.devices()[0]} (platform={platform})",
+          file=sys.stderr)
+
+    cfg = load_config(None)
+    field_cfgs = configs_from_cfg(cfg)
+    rcfg = RendererConfig.from_cfg(cfg)
+    params = init_all_fields(jax.random.PRNGKey(0), field_cfgs)
+
+    n = 256
+    rng = np.random.RandomState(3)
+    rays_o = (rng.randn(n, 3) * 0.1 + [0, 0, 2]).astype(np.float32)
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    rays_d[:, 2] -= 2.0
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    norm = (rng.rand(n, 1) + 1.0).astype(np.float32)
+    near = np.full((n, 1), 0.01, np.float32)
+    far = np.full((n, 1), 5.0, np.float32)
+    t_rand = rng.rand(n, 64).astype(np.float32)
+
+    def full_render(mode):
+        fields.set_fused_sdf(mode)
+        out = jax.jit(lambda p: render(
+            field_cfgs, p, jnp.asarray(rays_o), jnp.asarray(rays_d),
+            jnp.asarray(norm), jnp.asarray(0.3), jnp.asarray(near),
+            jnp.asarray(far), rcfg=rcfg, cos_anneal_ratio=0.6,
+            use_importance=True, train=True,
+            t_rand=jnp.asarray(t_rand)))(params)
+        return jax.device_get(out)
+
+    h = w = 64
+    static = StepStatic(
+        h=h, w=w, patch_size=4, n_points=n, stage1=True, n_images=10,
+        nb_sample_timestep=10, n_ref=3, train_motion=True,
+        sdf_cons_pose_grad=False, use_flow_rgb=True,
+        use_sdf_consistency=True)
+    batch = {
+        "images_all": jnp.asarray(rng.rand(10, 3, h, w).astype(np.float32)),
+        "K_all": jnp.asarray(np.stack(
+            [np.array([[2 * 70.0 / w, 0, 0, 0], [0, -2 * 70.0 / h, 0, 0],
+                       [0, 0, -1, 0], [0, 0, 0, 1]], np.float32)] * 10)),
+        "ref_idxs": jnp.asarray([3, 4, 5], jnp.int32),
+        "ref_in_list": jnp.ones(3, jnp.float32),
+        "ref_valid_flow": jnp.ones(3, jnp.float32),
+        "scale_mat": jnp.eye(4), "world_mat": jnp.eye(4),
+        "query_time_step": jnp.asarray(-0.5, jnp.float32),
+        "world_time_step": jnp.asarray(0.0, jnp.float32),
+        "image_idx": jnp.asarray(2, jnp.int32),
+        "world_cam_idx": jnp.asarray(5, jnp.int32),
+        "near": jnp.asarray(0.01, jnp.float32),
+        "far": jnp.asarray(5.0, jnp.float32),
+        "cos_anneal_ratio": jnp.asarray(0.5, jnp.float32),
+        "loss_weights": make_loss_weights(1.0, 0.1, 0.1, 7.5, 0.1, 1.0,
+                                          1e-4),
+    }
+    ray_idx = jnp.asarray(rng.permutation(h * w)[:n], jnp.int32)
+
+    def loss_and_grads(mode):
+        fields.set_fused_sdf(mode)
+
+        def f(p):
+            total, metrics = compute_losses(
+                field_cfgs, rcfg, static, p, batch, ray_idx,
+                t_rand=jnp.asarray(t_rand))
+            return total, metrics
+
+        (total, metrics), grads = jax.jit(
+            jax.value_and_grad(f, has_aux=True))(params)
+        return jax.device_get(((total, metrics), grads))
+
+    out_on = full_render("on")
+    out_off = full_render("off")
+    ((tot_on, m_on), g_on) = loss_and_grads("on")
+    ((tot_off, m_off), g_off) = loss_and_grads("off")
+    fields.set_fused_sdf("auto")
+
+    report = {"platform": platform, "checks": {}}
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(b).max() + 1e-12
+        return float(np.abs(a - b).max() / denom)
+
+    ok = True
+    for k in ("color_fine", "depth_pred", "weights", "sdf", "normals",
+              "sdf_flows"):
+        r = rel(out_on[k], out_off[k])
+        report["checks"][f"render.{k}"] = r
+        ok &= r < 2e-3
+    report["checks"]["loss.total"] = rel(tot_on, tot_off)
+    ok &= report["checks"]["loss.total"] < 2e-3
+    for term in ("loss_rgb", "loss_eikonal", "loss_sdf", "loss_flow_rgb",
+                 "sdf_consistency_loss"):
+        r = rel(m_on[term], m_off[term])
+        report["checks"][f"loss.{term}"] = r
+        ok &= r < 5e-3
+    flat_on = np.concatenate([np.asarray(x).ravel()
+                              for x in jax.tree_util.tree_leaves(g_on)])
+    flat_off = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree_util.tree_leaves(g_off)])
+    cos = float(np.dot(flat_on, flat_off) /
+                (np.linalg.norm(flat_on) * np.linalg.norm(flat_off) + 1e-12))
+    report["checks"]["grads.cosine"] = cos
+    report["checks"]["grads.max_rel"] = rel(flat_on, flat_off)
+    ok &= cos > 0.9999
+    report["ok"] = bool(ok)
+    print(json.dumps(report, indent=1))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,11 @@ def measure_reference(iters: int, warmup: int = 1):
         now = time.perf_counter()
         if state["t0"] is not None:
             state["count"] += 1
+            dt = now - state["t1"]
+            print(f"[ref iter {state['count']}] {dt:.1f}s",
+                  file=sys.stderr, flush=True)
             if state["count"] > warmup:
-                times.append(now - state["t1"])
+                times.append(dt)
         else:
             state["t0"] = now
         state["t1"] = now
@@ -152,13 +155,18 @@ def measure_ours(iters: int, warmup: int = 2):
         "lr": jnp.asarray(1e-3, jnp.float32),
         "motion_lr": jnp.asarray(5e-4, jnp.float32),
     }
+    t_c = time.perf_counter()
     for i in range(warmup):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     float(metrics["loss"])
+    print(f"[ours warmup+compile] {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    float(metrics["loss"])
+        float(metrics["loss"])
+        print(f"[ours iter {i}] {time.perf_counter() - t0:.1f}s cumulative",
+              file=sys.stderr, flush=True)
     return (time.perf_counter() - t0) / iters
 
 
@@ -166,18 +174,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--ours-iters", type=int, default=5)
+    ap.add_argument("--mode", choices=("both", "ref", "ours"),
+                    default="both")
     args = ap.parse_args()
 
-    ours_per_iter = measure_ours(args.ours_iters)
-    ref_per_iter, ref_times = measure_reference(args.iters)
-    print(json.dumps({
-        "reference_cpu_sec_per_iter": round(ref_per_iter, 3),
-        "reference_cpu_rays_per_sec": round(N_POINTS / ref_per_iter, 1),
-        "reference_cpu_iter_times": [round(t, 3) for t in ref_times],
-        "ours_cpu_sec_per_iter": round(ours_per_iter, 3),
-        "ours_cpu_rays_per_sec": round(N_POINTS / ours_per_iter, 1),
-        "cpu_speedup": round(ref_per_iter / ours_per_iter, 2),
-    }))
+    out = {}
+    if args.mode in ("both", "ours"):
+        ours_per_iter = measure_ours(args.ours_iters)
+        out.update({
+            "ours_cpu_sec_per_iter": round(ours_per_iter, 3),
+            "ours_cpu_rays_per_sec": round(N_POINTS / ours_per_iter, 1),
+        })
+    if args.mode in ("both", "ref"):
+        ref_per_iter, ref_times = measure_reference(args.iters)
+        out.update({
+            "reference_cpu_sec_per_iter": round(ref_per_iter, 3),
+            "reference_cpu_rays_per_sec": round(N_POINTS / ref_per_iter, 1),
+            "reference_cpu_iter_times": [round(t, 3) for t in ref_times],
+        })
+    if args.mode == "both":
+        out["cpu_speedup"] = round(ref_per_iter / ours_per_iter, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -199,6 +199,29 @@ def sdf_scalar(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return sdf_apply(cfg, params, x)[..., 0]
 
 
+def sdf_grad_color(sdf_cfg: SDFConfig, color_cfg, params_sdf: dict,
+                   params_color: dict, x: jnp.ndarray, dirs: jnp.ndarray):
+    """The render-core field query: (sdf, gradient, sampled color) for one
+    batch of (..., 4) pts_time and (..., 3) view dirs.
+
+    On TPU with fused kernels and the reference's default color config
+    (idr mode, positive ray vector) this is ONE Pallas op — SDF forward +
+    input gradient + color MLP fused, the 256-wide feature never leaving
+    VMEM (ops/pallas/rendercore_kernels.py). Otherwise it composes
+    ``sdf_output_and_gradient`` + ``color_apply`` (the correctness oracle).
+    Covers the reference hot sequence ``model/neus_renderer.py:352-358``.
+    """
+    if (fused_sdf_enabled() and color_cfg.mode == "idr"
+            and not color_cfg.use_negative_ray_vector):
+        from ..ops.pallas.rendercore_kernels import get_fused_rendercore
+        return get_fused_rendercore(sdf_cfg, color_cfg)(
+            params_sdf, params_color, x, dirs)
+    out, grad = sdf_output_and_gradient(sdf_cfg, params_sdf, x)
+    color = color_apply(color_cfg, params_color, x, grad, dirs,
+                        out[..., 1:])
+    return out[..., :1], grad, color
+
+
 def sdf_output_and_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     """Hot-path combo with reference semantics: returns (out, grad) where
     ``out`` is differentiable w.r.t. ``x`` but ``grad``'s x-dependence is

@@ -338,8 +338,10 @@ def _build(cfg, tile: int, interpret: bool):
 
             z_hat_B = [None] * (n - 1)
             if second_order:
-                ee, rs, qs = _grad_sweep_tile(w_refs, sigs, geom, n_rows,
-                                              keep=True)
+                # keep=False: q_l == rs[l+1]*sigs[l] is recomputed in the
+                # up-sweep instead of held live (VMEM headroom).
+                ee, rs, _ = _grad_sweep_tile(w_refs, sigs, geom, n_rows,
+                                             keep=False)
                 ee_hat = _pe_jac(jwide, gbar_ref[:], pec, geom)
                 r_hat = ee_hat
                 for l in range(0, n - 1):
@@ -349,7 +351,7 @@ def _build(cfg, tile: int, interpret: bool):
                     else:
                         p_hat = r_hat
                     q_hat = _dot(p_hat, w_refs[l][:])
-                    wb[l] = _outer_acc(p_hat, qs[l])
+                    wb[l] = _outer_acc(p_hat, rs[l + 1] * sigs[l])
                     r_hat = q_hat * sigs[l]
                     z_hat_B[l] = ((q_hat * rs[l + 1]) * 100.0 * sigs[l]
                                   * (1.0 - sigs[l]))

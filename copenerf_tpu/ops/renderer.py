@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.fields import (color_apply, nerf_apply, sdf_apply,
-                             sdf_output_and_gradient, sdf_value,
+                             sdf_grad_color, sdf_output_and_gradient,
+                             sdf_value,
                              sdf_value_nograd, sdf_with_gradient,
                              variance_inv_s)
 from .sampling import (_exclusive_transmittance, cat_z_vals, up_sample,
@@ -104,19 +105,17 @@ def render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step,
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     pts_time = _with_time(pts, time_step)                      # (B, S, 4)
 
-    # One fused query for value+feature+gradient. d(sdf)/d(x, y, z, t) has
+    # One fused query for value+gradient+color. d(sdf)/d(x, y, z, t) has
     # its input-dependence severed: the reference detaches pts_time before
     # autograd.grad (:356), so no gradient flows to ray origins/poses
-    # through the normal path.
-    sdf_out, gradients = sdf_output_and_gradient(
-        field_cfgs["sdf"], params["sdf"], pts_time)
-    sdf = sdf_out[..., :1]
-    feature = sdf_out[..., 1:]
+    # through the normal path. On TPU sdf+gradient+color run as ONE Pallas
+    # kernel (the 256-wide feature never leaves VMEM); elsewhere the
+    # composed XLA ops serve as the oracle (models/fields.sdf_grad_color).
+    sdf, gradients, sampled_color = sdf_grad_color(
+        field_cfgs["sdf"], field_cfgs["color"], params["sdf"],
+        params["color"], pts_time, dirs)
     normals = gradients[..., :3]
     sdf_flows = gradients[..., 3:]
-
-    sampled_color = color_apply(field_cfgs["color"], params["color"],
-                                pts_time, gradients, dirs, feature)
 
     inv_s = jnp.clip(variance_inv_s(params["variance"]), 1e-3, 1e3)
 

@@ -182,9 +182,19 @@ class Trainer:
 
                 self.mesh = make_mesh(n_dev)
                 self._log(f"Sharding rays over {n_dev} devices")
+        # Eval/vis rendering: under multi-process training, render on a
+        # PROCESS-LOCAL mesh — render_image feeds host-local chunk arrays
+        # into its jit, which must not carry multi-host sharding
+        # constraints (each process renders independently; only the
+        # primary writes artifacts).
+        render_mesh = self.mesh
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel.mesh import make_mesh as _make_mesh
+
+            render_mesh = _make_mesh(devices=jax.local_devices())
         self.image_renderer = ImageRenderer(
             self.field_cfgs, self.rcfg,
-            chunk=tr.get("render_chunk", 32768), mesh=self.mesh)
+            chunk=tr.get("render_chunk", 32768), mesh=render_mesh)
         self._steps = {}
         self.query_in_canonical_space = False
         self.pose_retriever = None  # (params, init_c2w) in stage 2
@@ -355,24 +365,34 @@ class Trainer:
         self.lr_state.on_epoch_start(epoch_it, stage2_starts_now=True)
         m = len(self.train_field.i_train)
 
+        pred_poses = None
         if self.tr["do_refine_pose"]:
-            self._log("Rendering train-view depths for pose refinement")
-            depths = self.render_train_views()
-            init_c2w = None
-            if not self.tr["refine_from_scratch"]:
-                init_c2w = motion_init_relative_poses(
-                    self.field_cfgs["motion"],
-                    self.state["params"]["motion"],
-                    self.train_field.i_train, self.total_nb_images,
-                    self.nb_sample_timestep)
-            self._log("Performing pose refinement")
-            pred_poses = run_pose_refinement(
-                self.train_field.imgs, depths,
-                self.train_field.K[self.train_field.i_train][:, :3, :3],
-                init_c2w=init_c2w, lr=self.tr["pose_refine_lr"],
-                epochs=self.tr["pose_refine_epochs"], logger=self.logger,
-                gt_poses=self.gt_poses, pose_error_fn=pose_error_report)
-        else:
+            # Guarded: a failure mid-refinement (render OOM, IO) must not
+            # abort training at the stage boundary — fall back to the
+            # motion-integrated poses (the do_refine_pose=False path), the
+            # same information the refinement would have started from.
+            try:
+                self._log("Rendering train-view depths for pose refinement")
+                depths = self.render_train_views()
+                init_c2w = None
+                if not self.tr["refine_from_scratch"]:
+                    init_c2w = motion_init_relative_poses(
+                        self.field_cfgs["motion"],
+                        self.state["params"]["motion"],
+                        self.train_field.i_train, self.total_nb_images,
+                        self.nb_sample_timestep)
+                self._log("Performing pose refinement")
+                pred_poses = run_pose_refinement(
+                    self.train_field.imgs, depths,
+                    self.train_field.K[self.train_field.i_train][:, :3, :3],
+                    init_c2w=init_c2w, lr=self.tr["pose_refine_lr"],
+                    epochs=self.tr["pose_refine_epochs"], logger=self.logger,
+                    gt_poses=self.gt_poses, pose_error_fn=pose_error_report)
+            except Exception as exc:
+                self._log(f"WARNING: pose refinement failed ({exc!r}); "
+                          "falling back to motion-integrated poses")
+                pred_poses = None
+        if pred_poses is None:
             w2c = np.asarray(full_video_w2c(
                 self.field_cfgs["motion"], self.state["params"]["motion"],
                 self.total_nb_images, self.nb_sample_timestep))

@@ -227,3 +227,93 @@ def test_routing_matches_plain(setup):
     np.testing.assert_allclose(o1, o2, rtol=0, atol=5e-6)
     np.testing.assert_allclose(g1, g2, rtol=0, atol=5e-6)
     K._COMPUTE_DTYPE = jnp.float32
+
+
+def test_fused_rendercore_parity(setup):
+    """Combined SDF+gradient+color kernel (interpret) vs the composed XLA
+    oracle: forward triple, parameter grads for BOTH nets, x/dirs grads,
+    with the reference's severed-gradient and second-order semantics."""
+    from copenerf_tpu.models import fields as F
+    from copenerf_tpu.ops.pallas.rendercore_kernels import \
+        get_fused_rendercore
+
+    params, x = setup
+    _ops(jnp.float32)  # reset compute dtype + caches
+    ccfg = F.ColorConfig(d_feature=CFG.d_out - 1, d_in=11, d_hidden=48,
+                         n_layers=3, multires_view=4, weight_norm=True,
+                         squeeze_out=True)
+    cparams = F.color_init(jax.random.PRNGKey(7), ccfg)
+    dirs = jax.random.normal(jax.random.PRNGKey(8), (40, 3))
+
+    fn = get_fused_rendercore(CFG, ccfg, tile_fwd=8, tile_bwd=8,
+                              interpret=True)
+
+    def oracle(ps, pc, xx, dd):
+        out = sdf_apply(CFG, ps, xx)
+        _, g = sdf_with_gradient(CFG, ps, jax.lax.stop_gradient(xx))
+        c = F.color_apply(ccfg, pc, xx, g, dd, out[..., 1:])
+        return out[..., :1], g, c
+
+    s_k, g_k, c_k = fn(params, cparams, x, dirs)
+    s_r, g_r, c_r = oracle(params, cparams, x, dirs)
+    np.testing.assert_allclose(s_k, s_r, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(g_k, g_r, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(c_k, c_r, rtol=0, atol=5e-6)
+
+    # Loss shaped like the render-core consumers: alpha-ish from sdf,
+    # eikonal + sdf-flow from grad, rgb from color.
+    def loss(triple):
+        s, g, c = triple
+        return (jnp.mean(jnp.abs(s))
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1.0) ** 2)
+                + 0.2 * jnp.mean(g[..., 3] ** 2)
+                + jnp.sum(jnp.sin(3.0 * c)))
+
+    gk = jax.grad(lambda ps, pc, xx, dd: loss(fn(ps, pc, xx, dd)),
+                  argnums=(0, 1, 2, 3))(params, cparams, x, dirs)
+    gr = jax.grad(lambda ps, pc, xx, dd: loss(oracle(ps, pc, xx, dd)),
+                  argnums=(0, 1, 2, 3))(params, cparams, x, dirs)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=5e-5)
+
+
+def test_sdf_grad_color_routing(setup):
+    """models.fields.sdf_grad_color fused-on (interpret) == composed path;
+    non-idr / negative-ray configs fall back to composition."""
+    from copenerf_tpu.models import fields as F
+
+    params, x = setup
+    _ops(jnp.float32)
+    ccfg = F.ColorConfig(d_feature=CFG.d_out - 1, d_in=11, d_hidden=32,
+                         n_layers=2, multires_view=2, weight_norm=True,
+                         squeeze_out=True)
+    cparams = F.color_init(jax.random.PRNGKey(9), ccfg)
+    dirs = jax.random.normal(jax.random.PRNGKey(10), (40, 3))
+
+    F.set_fused_sdf("on")
+    try:
+        fused = F.sdf_grad_color(CFG, ccfg, params, cparams, x, dirs)
+    finally:
+        F.set_fused_sdf("auto")
+    plain = F.sdf_grad_color(CFG, ccfg, params, cparams, x, dirs)
+    for a, b in zip(fused, plain):
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+
+    # negative-ray config must route to the composed path even when fused.
+    ccfg_neg = F.ColorConfig(d_feature=CFG.d_out - 1, d_in=11, d_hidden=32,
+                             n_layers=2, multires_view=2, weight_norm=True,
+                             squeeze_out=True, use_negative_ray_vector=True)
+    cparams_neg = F.color_init(jax.random.PRNGKey(11), ccfg_neg)
+    F.set_fused_sdf("on")
+    try:
+        neg = F.sdf_grad_color(CFG, ccfg_neg, params, cparams_neg, x, dirs)
+    finally:
+        F.set_fused_sdf("auto")
+    ref = F.sdf_grad_color(CFG, ccfg_neg, params, cparams_neg, x, dirs)
+    for a, b in zip(neg, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    K._COMPUTE_DTYPE = jnp.float32
