@@ -103,10 +103,20 @@ def main():
             jax.value_and_grad(f, has_aux=True))(params)
         return jax.device_get(((total, metrics), grads))
 
+    # THREE-WAY comparison. Both the fused kernels and XLA's own DEFAULT
+    # f32 matmuls run bf16 passes on the MXU; the NeuS alpha amplifies any
+    # |dsdf| by inv_s (up to 1e3), so "fused-vs-XLA-default" differences of
+    # a few % in `weights` are precision noise, not kernel bugs (the
+    # interpreter-mode tests prove exact math parity). The honest hardware
+    # check: compare BOTH against the f32-HIGHEST XLA oracle and require
+    # the fused error to be of the same order as XLA-default's own error.
     out_on = full_render("on")
     out_off = full_render("off")
     ((tot_on, m_on), g_on) = loss_and_grads("on")
     ((tot_off, m_off), g_off) = loss_and_grads("off")
+    with jax.default_matmul_precision("highest"):
+        out_hi = full_render("off")
+        ((tot_hi, m_hi), g_hi) = loss_and_grads("off")
     fields.set_fused_sdf("auto")
 
     report = {"platform": platform, "checks": {}}
@@ -116,28 +126,36 @@ def main():
         denom = np.abs(b).max() + 1e-12
         return float(np.abs(a - b).max() / denom)
 
+    def cos(a, b):
+        fa = np.concatenate([np.asarray(x, np.float64).ravel()
+                             for x in jax.tree_util.tree_leaves(a)])
+        fb = np.concatenate([np.asarray(x, np.float64).ravel()
+                             for x in jax.tree_util.tree_leaves(b)])
+        return float(np.dot(fa, fb) /
+                     (np.linalg.norm(fa) * np.linalg.norm(fb) + 1e-12))
+
     ok = True
+
+    def gate(name, e_fused, e_default, floor):
+        nonlocal ok
+        report["checks"][name] = {"fused_vs_f32": e_fused,
+                                  "xla_default_vs_f32": e_default}
+        ok &= e_fused <= max(3.0 * e_default, floor)
+
     for k in ("color_fine", "depth_pred", "weights", "sdf", "normals",
               "sdf_flows"):
-        r = rel(out_on[k], out_off[k])
-        report["checks"][f"render.{k}"] = r
-        ok &= r < 2e-3
-    report["checks"]["loss.total"] = rel(tot_on, tot_off)
-    ok &= report["checks"]["loss.total"] < 2e-3
+        gate(f"render.{k}", rel(out_on[k], out_hi[k]),
+             rel(out_off[k], out_hi[k]), 1e-4)
+    gate("loss.total", rel(tot_on, tot_hi), rel(tot_off, tot_hi), 1e-4)
     for term in ("loss_rgb", "loss_eikonal", "loss_sdf", "loss_flow_rgb",
                  "sdf_consistency_loss"):
-        r = rel(m_on[term], m_off[term])
-        report["checks"][f"loss.{term}"] = r
-        ok &= r < 5e-3
-    flat_on = np.concatenate([np.asarray(x).ravel()
-                              for x in jax.tree_util.tree_leaves(g_on)])
-    flat_off = np.concatenate([np.asarray(x).ravel()
-                               for x in jax.tree_util.tree_leaves(g_off)])
-    cos = float(np.dot(flat_on, flat_off) /
-                (np.linalg.norm(flat_on) * np.linalg.norm(flat_off) + 1e-12))
-    report["checks"]["grads.cosine"] = cos
-    report["checks"]["grads.max_rel"] = rel(flat_on, flat_off)
-    ok &= cos > 0.9999
+        gate(f"loss.{term}", rel(m_on[term], m_hi[term]),
+             rel(m_off[term], m_hi[term]), 1e-4)
+    c_on = cos(g_on, g_hi)
+    c_off = cos(g_off, g_hi)
+    report["checks"]["grads.cosine"] = {"fused_vs_f32": c_on,
+                                        "xla_default_vs_f32": c_off}
+    ok &= (1.0 - c_on) <= max(3.0 * (1.0 - c_off), 1e-6)
     report["ok"] = bool(ok)
     print(json.dumps(report, indent=1))
     sys.exit(0 if ok else 1)
