@@ -14,20 +14,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.rays import arange_pixels, rays_from_pixels
+from ..ops.rays import rays_from_pixels
 from ..ops.renderer import RendererConfig, render
 
 
 class ImageRenderer:
     """Holds a jitted chunked renderer for one (field_cfgs, rcfg).
 
-    ``chunk`` is the MAX rays per device dispatch. Measured on v5e, forward
-    render throughput scales strongly with chunk size (4096 -> 24k rays/s,
-    32768 -> 67k rays/s; 65536 exceeds HBM with the 128-sample books), so the
-    default is 32768. Per image the effective chunk is capped at the next
-    power of two >= the pixel count, so small visualization frames don't pay
-    32k-ray padding; one program is compiled per distinct effective chunk
-    (<= 6 sizes) and reused across all views/resolutions mapping to it.
+    ``chunk`` is the MAX rays per device dispatch (default 32768; 65536
+    exceeds v5e HBM with the 128-sample bookkeeping). Per image the
+    effective chunk is capped at the next power of two >= the pixel count,
+    so small visualization frames don't pay 32k-ray padding; one program is
+    compiled per distinct effective chunk (<= 6 sizes) and reused across
+    all views/resolutions (h/w are traced scalars, pixels are generated
+    on device).
     """
 
     def __init__(self, field_cfgs: dict, rcfg: RendererConfig,
@@ -52,9 +52,22 @@ class ImageRenderer:
 
         from ..parallel.mesh import shard_rays
 
-        @jax.jit
-        def _chunk_fn(params, pixels, camera_mat, world_mat, scale_mat,
-                      time_step, near, far, cos_anneal_ratio):
+        # Pixel coordinates are generated ON DEVICE from (start, h, w):
+        # the host loop ships only scalars per chunk. On a tunneled backend
+        # the per-chunk host->device pixel upload (chunk x 2 floats) was a
+        # measurable part of frame latency; on local hardware it is simply
+        # zero host work in the hot loop.
+        # chunk/h/w are STATIC: the divisions constant-fold (a traced
+        # divisor makes the integer div/mod dynamic and hurts compile and
+        # runtime), and only a handful of resolutions occur per run.
+        @partial(jax.jit, static_argnums=(1, 3, 4))
+        def _chunk_fn(params, chunk, start, h, w, camera_mat, world_mat,
+                      scale_mat, time_step, near, far, cos_anneal_ratio):
+            idx = jnp.minimum(start + jnp.arange(chunk), h * w - 1)
+            row = (idx // w).astype(jnp.float32)
+            col = (idx % w).astype(jnp.float32)
+            pixels = jnp.stack([2.0 * col / (w - 1.0) - 1.0,
+                                2.0 * row / (h - 1.0) - 1.0], axis=-1)
             pixels = shard_rays(mesh, pixels)
             rays_o, rays_d, rays_d_norm = rays_from_pixels(
                 pixels, camera_mat, world_mat, scale_mat)
@@ -99,15 +112,12 @@ class ImageRenderer:
         color (h, w, 3), depth (h, w), weighted_z (h, w), normal (h, w, 3),
         depth_highest (h, w) [, weights/pts per chunk when ``want_pts``]."""
         h, w = int(resolution[0]), int(resolution[1])
-        _, pixels = arange_pixels((h, w))
-        n = pixels.shape[0]
+        n = h * w
         # Effective chunk: next power of two covering n, capped at self.chunk.
         chunk = self.min_chunk
         while chunk < n and chunk < self.chunk:
             chunk *= 2
-        n_pad = (-n) % chunk
-        pixels = np.concatenate(
-            [pixels, np.zeros((n_pad, 2), np.float32)], 0)
+        n_total = n + ((-n) % chunk)
 
         outs = {k: [] for k in
                 ("color", "depth", "weighted_z", "normal", "depth_highest")}
@@ -117,10 +127,11 @@ class ImageRenderer:
         scale_mat = jnp.asarray(scale_mat)
         # Results stay on device until the end: the host fetch of chunk i
         # would otherwise serialize against the dispatch of chunk i+1.
-        for i in range(0, len(pixels), chunk):
+        for i in range(0, n_total, chunk):
             res = self._chunk_fn(
-                params, jnp.asarray(pixels[i:i + chunk]), camera_mat,
-                world_mat, scale_mat, jnp.asarray(time_step, jnp.float32),
+                params, chunk, jnp.asarray(i, jnp.int32), h, w,
+                camera_mat, world_mat, scale_mat,
+                jnp.asarray(time_step, jnp.float32),
                 jnp.asarray(depth_range[0], jnp.float32),
                 jnp.asarray(depth_range[1], jnp.float32),
                 jnp.asarray(cos_anneal_ratio, jnp.float32))

@@ -77,7 +77,7 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
 
         pes = pes_ref[:]
         z, (jwide, _, _, sigs) = _forward_tile(
-            x_ref[:], pes, ws, bs_, sg, keep=True)
+            x_ref[:], pes, ws, bs_, sg, keep=True, keep_ts=False)
         sdf_ref[:] = z[:, :1] / sg.scale
         feat = z[:, 1:]
         ee, _, _ = _grad_sweep_tile(ws, sigs, sg, x_ref.shape[0],

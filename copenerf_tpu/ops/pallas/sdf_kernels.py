@@ -189,10 +189,14 @@ def _outer_acc(p, q):
 # ---------------------------------------------------------------------------
 
 def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool,
-                  value_only: bool = False):
+                  value_only: bool = False, keep_ts: bool | None = None):
     """Forward over one tile. Returns (z_last, saved) where saved is
-    (jwide, e, ts, sigs); ts/sigs populated only when ``keep``. With
-    ``value_only`` the last layer multiplies only W_last[:, :1] (SDF head)."""
+    (jwide, e, ts, sigs); sigs populated when ``keep``, ts when ``keep_ts``
+    (defaults to ``keep``; forward-only kernels need sigs for the gradient
+    sweep but never ts — not saving them frees VMEM). With ``value_only``
+    the last layer multiplies only W_last[:, :1] (SDF head)."""
+    if keep_ts is None:
+        keep_ts = keep
     xs = x * geom.scale
     e, jwide = _pe_parts(xs, pec, geom)
     h = e
@@ -200,7 +204,7 @@ def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool,
     for l in range(geom.n_lin):
         t = (jnp.concatenate([h, e], axis=-1) * INV_SQRT2
              if l in geom.skip else h)
-        if keep:
+        if keep_ts:
             ts.append(t)
         w_l, b_l = w_refs[l][:], b_refs[l][:]
         if value_only and l == geom.n_lin - 1:
@@ -289,7 +293,7 @@ def _build(cfg, tile: int, interpret: bool):
             pec = pec_ref[:]
             z, (jwide, e, ts, sigs) = _forward_tile(
                 x_ref[:], pec, w_refs, b_refs, geom, keep=with_grad,
-                value_only=value_only)
+                value_only=value_only, keep_ts=False)
             if value_only:
                 out_ref[:] = z / geom.scale
             else:
