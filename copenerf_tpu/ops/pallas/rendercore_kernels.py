@@ -49,10 +49,11 @@ from .sdf_kernels import (INV_SQRT2, _dot, _dot_t, _forward_tile, _Geom,
 
 DEFAULT_TILE_FWD = 256
 # The backward holds both nets' weights + weight-grad accumulators + the
-# recomputed activation stacks in VMEM. Measured on v5e at 131k pts
-# (benchmarks/micro_rendercore.py): tile 256 fits and is the sweet spot
-# (15.8 ms fwd+bwd vs 17.5 ms at 128; split outgrad+XLA-color: 19.7 ms).
-DEFAULT_TILE_BWD = 256
+# recomputed activation stacks in VMEM (vmem_limit_bytes raised past the
+# 16 MB scoped default). v5e sweep at 131k pts
+# (benchmarks/micro_rendercore.py), fwd+bwd ms: tile 128 -> 17.5,
+# 256 -> 15.8, 384 -> 15.4, 512 -> 14.9 (split outgrad+XLA-color: ~19.5).
+DEFAULT_TILE_BWD = 512
 
 
 @functools.lru_cache(maxsize=8)
