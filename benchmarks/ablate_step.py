@@ -26,6 +26,7 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
     import bench as B
@@ -60,18 +61,26 @@ def main():
     ]
 
     for name, over in variants:
-        static = StepStatic(**{**base, **over})
-        step = build_train_step(field_cfgs, rcfg, static)
-        state = init_train_state(params)
-        for i in range(3):
-            state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        sync(metrics["loss"])
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
-        sync(metrics["loss"])
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
-        print(f"{name:32s} {ms:8.2f} ms/step", flush=True)
+        try:
+            static = StepStatic(**{**base, **over})
+            step = build_train_step(field_cfgs, rcfg, static)
+            # Fresh param copies per variant: the step donates its state,
+            # which would delete the shared arrays for the next variant.
+            state = init_train_state(
+                jax.tree_util.tree_map(jnp.array, params))
+            for i in range(3):
+                state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            sync(metrics["loss"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, metrics = step(state, batch,
+                                      jax.random.PRNGKey(10 + i))
+            sync(metrics["loss"])
+            ms = (time.perf_counter() - t0) / args.iters * 1e3
+            print(f"{name:32s} {ms:8.2f} ms/step", flush=True)
+        except Exception as exc:
+            print(f"{name:32s} FAILED: "
+                  f"{str(exc).splitlines()[0][:90]}", flush=True)
 
 
 if __name__ == "__main__":
