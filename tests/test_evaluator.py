@@ -75,3 +75,29 @@ def test_config_single_source_of_truth():
     cfg = yaml.safe_load(open(repo_copy))
     assert cfg["training"]["fused_kernels"] == "auto"
     assert cfg["training"]["backup_source"] is True
+
+
+def test_image_renderer_on_device_pixels_match_multichunk():
+    """Pixel coordinates are generated on-device from (start, h, w); a
+    multi-chunk render must equal a single-chunk render at an odd (padded)
+    resolution."""
+    import numpy as np
+
+    import jax
+    import test_train_step as T
+    from copenerf_tpu.evaluation.render import ImageRenderer
+    from copenerf_tpu.models import init_all_fields
+
+    params = init_all_fields(jax.random.PRNGKey(0), T.FIELD_CFGS)
+    h, w = 26, 30   # 780 px: pads, and chunk=512 forces two chunks
+    cam = np.array([[2 * 30.0 / w, 0, 0, 0], [0, -2 * 30.0 / h, 0, 0],
+                    [0, 0, -1, 0], [0, 0, 0, 1]], np.float32)
+    eye = np.eye(4, dtype=np.float32)
+    args = (params, cam, eye, eye, 0.0, (h, w), (0.5, 3.5), 1.0)
+    multi = ImageRenderer(T.FIELD_CFGS, T.RCFG, chunk=512).render_image(*args)
+    single = ImageRenderer(T.FIELD_CFGS, T.RCFG,
+                           chunk=1024).render_image(*args)
+    for k in ("color", "depth", "normal", "weighted_z", "depth_highest"):
+        np.testing.assert_allclose(multi[k], single[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+        assert np.isfinite(multi[k]).all()
