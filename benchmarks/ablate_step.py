@@ -26,9 +26,7 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    import jax.numpy as jnp
 
-    sys.path.insert(0, REPO)
     import bench as B
     from copenerf_tpu.config.loader import load_config
     from copenerf_tpu.models import configs_from_cfg, init_all_fields

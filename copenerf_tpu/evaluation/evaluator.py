@@ -172,7 +172,9 @@ class Evaluator(Trainer):
             self._log("WARNING: LPIPS unavailable (no VGG weights) — "
                       "results omit the third protocol metric. Provide "
                       "weights via COPENERF_LPIPS_VGG/COPENERF_LPIPS_LIN.")
-            out["LPIPS"] = "unavailable (no weights)"
+            # NaN, not a string: numeric consumers (JSON aggregation,
+            # float() over results.txt) must not break on a type change.
+            out["LPIPS"] = float("nan")
         return out
 
     def depth_eval(self, gt_depths, preds, min_depth=0.1, max_depth=80.0):

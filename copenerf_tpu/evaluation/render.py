@@ -43,6 +43,13 @@ class ImageRenderer:
         # cap DOWN to a power-of-two multiple of min_chunk so the doubling
         # loop below can never overshoot a non-power-of-two cap (the cap is
         # an HBM-safety limit, so it must be a true maximum).
+        if mesh is not None and chunk < mesh.size:
+            # Rounding up to a mesh multiple would silently exceed the
+            # configured HBM-safety cap — refuse instead.
+            raise ValueError(
+                f"render chunk {chunk} < mesh size {mesh.size}; the chunk "
+                "cap is an HBM maximum and cannot be rounded up to a mesh "
+                "multiple — raise training.render_chunk or shrink the mesh")
         self.min_chunk = min(self.min_chunk, max(chunk, 1))
         if mesh is not None:
             self.min_chunk += (-self.min_chunk) % mesh.size

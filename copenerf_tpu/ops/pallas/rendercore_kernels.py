@@ -287,14 +287,25 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
     return sg, cg, call_fwd, call_bwd
 
 
-@functools.lru_cache(maxsize=8)
 def get_fused_rendercore(sdf_cfg, color_cfg, tile_fwd: int = DEFAULT_TILE_FWD,
                          tile_bwd: int = DEFAULT_TILE_BWD,
                          interpret: bool | None = None):
     """Return ``fn(params_sdf, params_color, x, dirs) ->
-    (sdf (...,1), grad (..., d_in), color (..., 3))`` as one fused op."""
+    (sdf (...,1), grad (..., d_in), color (..., 3))`` as one fused op.
+
+    Thin uncached wrapper: ``interpret=None`` is resolved against the
+    CURRENT backend on every call (tests flip ``jax_platforms``
+    mid-process), then the resolved mode keys the cached builder.
+    """
     if interpret is None:
         interpret = not is_tpu_backend()
+    return _get_fused_rendercore(sdf_cfg, color_cfg, tile_fwd, tile_bwd,
+                                 interpret)
+
+
+@functools.lru_cache(maxsize=8)
+def _get_fused_rendercore(sdf_cfg, color_cfg, tile_fwd: int,
+                          tile_bwd: int, interpret: bool):
     sg, cg, call_fwd, call_bwd = _build(sdf_cfg, color_cfg, tile_fwd,
                                         tile_bwd, interpret)
     ns, nc = sg.n_lin, cg.n_lin

@@ -549,11 +549,18 @@ class FusedOps(NamedTuple):
     value_diff: Any
 
 
-@functools.lru_cache(maxsize=32)
 def get_fused_ops(cfg, tile: int = DEFAULT_TILE,
                   interpret: bool | None = None) -> "FusedOps":
+    """Uncached wrapper: resolve ``interpret=None`` against the CURRENT
+    backend on every call (tests flip ``jax_platforms`` mid-process), then
+    key the cached builder on the resolved mode."""
     if interpret is None:
         interpret = not is_tpu_backend()
+    return _get_fused_ops(cfg, tile, interpret)
+
+
+@functools.lru_cache(maxsize=32)
+def _get_fused_ops(cfg, tile: int, interpret: bool) -> "FusedOps":
     geom, call_value, call_fwd, call_bwd = _build(cfg, tile, interpret)
     n = geom.n_lin
 

@@ -367,10 +367,13 @@ class Trainer:
 
         pred_poses = None
         if self.tr["do_refine_pose"]:
-            # Guarded: a failure mid-refinement (render OOM, IO) must not
-            # abort training at the stage boundary — fall back to the
-            # motion-integrated poses (the do_refine_pose=False path), the
-            # same information the refinement would have started from.
+            # Guarded: a resource failure mid-refinement (render OOM, IO)
+            # must not abort training at the stage boundary — fall back to
+            # the motion-integrated poses (the do_refine_pose=False path),
+            # the same information the refinement would have started from.
+            # The catch is NARROW (RuntimeError covers XLA OOM; OSError
+            # covers IO): programming errors must propagate, not silently
+            # degrade final pose/NVS quality.
             try:
                 self._log("Rendering train-view depths for pose refinement")
                 depths = self.render_train_views()
@@ -388,7 +391,7 @@ class Trainer:
                     init_c2w=init_c2w, lr=self.tr["pose_refine_lr"],
                     epochs=self.tr["pose_refine_epochs"], logger=self.logger,
                     gt_poses=self.gt_poses, pose_error_fn=pose_error_report)
-            except Exception as exc:
+            except (RuntimeError, OSError, MemoryError) as exc:
                 self._log(f"WARNING: pose refinement failed ({exc!r}); "
                           "falling back to motion-integrated poses")
                 pred_poses = None

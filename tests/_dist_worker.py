@@ -49,6 +49,11 @@ def main():
     dist.initialize(coordinator_address=args.coordinator,
                     num_processes=args.num_processes,
                     process_id=args.process_id)
+    # Bring-up sentinel: the test distinguishes "jax.distributed never came
+    # up in this environment" (skip) from "hang AFTER successful bring-up"
+    # (a real distributed regression -> fail).
+    with open(args.out + ".bringup", "w") as f:
+        f.write("ok")
     assert jax.process_count() == args.num_processes, jax.process_count()
     assert dist.is_primary() == (args.process_id == 0)
 

@@ -30,7 +30,7 @@ def setup():
 
 def _ops(dtype):
     K._COMPUTE_DTYPE = dtype
-    K.get_fused_ops.cache_clear()
+    K._get_fused_ops.cache_clear()
     K._build.cache_clear()
     return K.get_fused_ops(CFG, tile=8, interpret=True)
 
