@@ -107,12 +107,94 @@ def up_sample_naive(rays_o, rays_d, z_vals, sdf, n_importance: int,
     return jax.lax.stop_gradient(z_new)
 
 
-def cat_z_vals(z_vals, new_z_vals, sdf, new_sdf=None):
-    """Merge + sort z values; gather sdf into the sorted order.
+def _bitonic_merge(z: jnp.ndarray, vals=None):
+    """Sort a bitonic (ascending-then-descending) last axis of power-of-2
+    length with the log2(P) final merge stages of a bitonic sorter.
 
-    Returns (z_sorted, sdf_sorted, order). When ``new_sdf`` is None (last
-    round) only z is sorted and sdf is returned unchanged.
+    Each stage is a static reshape + compare + select — pure VPU min/max,
+    no gathers/scatters, fully vectorized over leading axes. ``vals`` (any
+    number of companion arrays) are co-permuted by the z comparisons.
     """
+    P = z.shape[-1]
+    assert P & (P - 1) == 0, P
+    vals = list(vals) if vals is not None else []
+    d = P // 2
+    while d >= 1:
+        shape = z.shape[:-1] + (P // (2 * d), 2, d)
+        zr = z.reshape(shape)
+        z0, z1 = zr[..., 0, :], zr[..., 1, :]
+        swap = z0 > z1
+        z = jnp.stack([jnp.where(swap, z1, z0), jnp.where(swap, z0, z1)],
+                      axis=-2).reshape(z.shape)
+        for i, v in enumerate(vals):
+            vr = v.reshape(shape)
+            v0, v1 = vr[..., 0, :], vr[..., 1, :]
+            vals[i] = jnp.stack(
+                [jnp.where(swap, v1, v0), jnp.where(swap, v0, v1)],
+                axis=-2).reshape(v.shape)
+        d //= 2
+    return z, vals
+
+
+def merge_sorted(z_a, z_b, vals_a=None, vals_b=None):
+    """Merge two individually ascending-sorted last axes in O(P log P)
+    compare-exchanges (log2(P) stages) instead of a full O(P log^2 P) sort.
+
+    ``concat(a, +inf pad, reversed(b))`` is bitonic (up then down), so the
+    bitonic *merge* network alone sorts it; the +inf pads to a power of two
+    and sorts to the tail, which is sliced off. ``vals_a``/``vals_b`` are
+    matching lists of companion arrays co-permuted with z (merge is not
+    stable within exact-z ties; z values themselves are always exact).
+    """
+    m, n = z_a.shape[-1], z_b.shape[-1]
+    total = m + n
+    P = 1 << (total - 1).bit_length()
+    pad = P - total
+    parts = [z_a]
+    if pad:
+        parts.append(jnp.full(z_a.shape[:-1] + (pad,),
+                              jnp.finfo(z_a.dtype).max, z_a.dtype))
+    parts.append(jnp.flip(z_b, -1))
+    z = jnp.concatenate(parts, axis=-1)
+
+    vals = []
+    if vals_a is not None:
+        for va, vb in zip(vals_a, vals_b):
+            vparts = [va]
+            if pad:
+                vparts.append(jnp.zeros(va.shape[:-1] + (pad,), va.dtype))
+            vparts.append(jnp.flip(vb, -1))
+            vals.append(jnp.concatenate(vparts, axis=-1))
+
+    z, vals = _bitonic_merge(z, vals)
+    return z[..., :total], [v[..., :total] for v in vals]
+
+
+def cat_z_vals(z_vals, new_z_vals, sdf, new_sdf=None):
+    """Merge z values (both inputs individually sorted: ``z_vals`` from the
+    previous round, ``new_z_vals`` from the monotone inverse-CDF draw);
+    co-permute sdf into the merged order.
+
+    Implemented as a bitonic MERGE network (log2(P) compare-exchange
+    stages), ~4x fewer stages than the variadic ``lax.sort`` the reference
+    math implies (``torch.sort`` over the concat, neus_renderer.py:282-298)
+    — the concatenation of two sorted lists never needed a full sort.
+    ``cat_z_vals_sort`` below keeps the lax.sort path as the oracle.
+
+    Returns (z_sorted, sdf_sorted, None). When ``new_sdf`` is None (last
+    round) only z is merged and sdf is returned unchanged.
+    """
+    if new_sdf is None:
+        z_sorted, _ = merge_sorted(z_vals, new_z_vals)
+        return z_sorted, sdf, None
+    z_sorted, (sdf_sorted,) = merge_sorted(z_vals, new_z_vals, [sdf],
+                                           [new_sdf])
+    return z_sorted, sdf_sorted, None
+
+
+def cat_z_vals_sort(z_vals, new_z_vals, sdf, new_sdf=None):
+    """Oracle: full variadic stable sort of the concatenation (the
+    reference's torch.sort semantics). Kept for tests/fallback."""
     z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
     if new_sdf is None:
         z_sorted, order = jax.lax.sort(

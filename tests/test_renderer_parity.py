@@ -30,7 +30,8 @@ from copenerf_tpu.models.torch_io import (color_params_from_torch,  # noqa: E402
                                           sdf_params_from_torch,
                                           variance_params_from_torch)
 from copenerf_tpu.ops.renderer import RendererConfig, render  # noqa: E402
-from copenerf_tpu.ops.sampling import sample_pdf, up_sample  # noqa: E402
+from copenerf_tpu.ops.sampling import (cat_z_vals, cat_z_vals_sort,  # noqa: E402
+                                       sample_pdf, up_sample)
 
 
 def _build_reference_renderer():
@@ -99,6 +100,45 @@ def test_sample_pdf_parity():
                          16, det=True).numpy()
     ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 16))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cat_z_vals_merge_equals_sort():
+    """The bitonic-merge cat_z_vals == the full-sort oracle, at every
+    importance-round shape (64+16 .. 112+16) and with exact-tie inputs."""
+    rng = np.random.RandomState(7)
+    for m in (64, 80, 96, 112):
+        z = np.sort(rng.rand(33, m).astype(np.float32) * 4, axis=-1)
+        zn = np.sort(rng.rand(33, 16).astype(np.float32) * 4, axis=-1)
+        s = rng.randn(33, m).astype(np.float32)
+        sn = rng.randn(33, 16).astype(np.float32)
+        zm, sm, _ = cat_z_vals(jnp.asarray(z), jnp.asarray(zn),
+                               jnp.asarray(s), jnp.asarray(sn))
+        zo, so, _ = cat_z_vals_sort(jnp.asarray(z), jnp.asarray(zn),
+                                    jnp.asarray(s), jnp.asarray(sn))
+        np.testing.assert_array_equal(np.asarray(zm), np.asarray(zo))
+        np.testing.assert_array_equal(np.asarray(sm), np.asarray(so))
+        # last round: z-only merge
+        zm2, s_pass, _ = cat_z_vals(jnp.asarray(z), jnp.asarray(zn),
+                                    jnp.asarray(s), None)
+        np.testing.assert_array_equal(np.asarray(zm2), np.asarray(zo))
+        assert s_pass is not None
+
+    # Exact ties (new z duplicating existing z): merged z must still equal
+    # the sorted z bitwise; sdf may permute only within tie groups, so
+    # compare the (z, sdf) multiset per row.
+    z = np.sort(rng.rand(5, 64).astype(np.float32), axis=-1)
+    zn = z[:, ::4].copy()
+    s = rng.randn(5, 64).astype(np.float32)
+    sn = rng.randn(5, 16).astype(np.float32)
+    zm, sm, _ = cat_z_vals(jnp.asarray(z), jnp.asarray(zn),
+                           jnp.asarray(s), jnp.asarray(sn))
+    zo, so, _ = cat_z_vals_sort(jnp.asarray(z), jnp.asarray(zn),
+                                jnp.asarray(s), jnp.asarray(sn))
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(zo))
+    for r in range(5):
+        ours = sorted(zip(np.asarray(zm)[r], np.asarray(sm)[r]))
+        ref = sorted(zip(np.asarray(zo)[r], np.asarray(so)[r]))
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
 
 
 def test_up_sample_parity():
