@@ -101,6 +101,96 @@ def test_missing_weights_warns_loudly(monkeypatch):
         assert lpips_fn() is None
 
 
+def test_export_pack_workflow(tmp_path, monkeypatch):
+    """The documented weight-pack command: every accepted source layout
+    (torchvision vgg16 + PerceptualSimilarity heads, pip-lpips combined,
+    post-rename heads) exports to the canonical npz pack, the evaluator
+    discovers it, and the metric matches direct ingestion."""
+    import torch
+
+    from copenerf_tpu.evaluation import lpips_export
+
+    vgg_path, lin_path = _fake_checkpoints(tmp_path, "torch")
+    vgg_np = {k: v.numpy() for k, v in torch.load(vgg_path).items()}
+    lin_np = {k: v.numpy() for k, v in torch.load(lin_path).items()}
+
+    # Source layout 1: torchvision-style vgg + PerceptualSimilarity heads.
+    out1 = str(tmp_path / "pack1")
+    p_vgg, p_lin = lpips_export.export(vgg=vgg_path, lin=lin_path,
+                                       out_dir=out1)
+    assert p_vgg.endswith("vgg16.npz") and p_lin.endswith("vgg.npz")
+
+    # Source layout 2: one combined pip-lpips state dict
+    # (net.slice{s}.{i}.* + lins.{k}.model.1.weight).
+    slice_of = {}
+    for s, idxs in enumerate(lpips_jax._VGG16_STAGES, start=1):
+        for i in idxs:
+            slice_of[i] = s
+    combined = {}
+    for k, v in vgg_np.items():
+        i = int(k.split(".")[1])
+        combined[f"net.slice{slice_of[i]}.{i}.{k.split('.')[2]}"] = v
+    for s in range(5):
+        combined[f"lins.{s}.model.1.weight"] = \
+            lin_np[f"lin{s}.model.1.weight"]
+    comb_path = str(tmp_path / "lpips_vgg_full.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in combined.items()},
+               comb_path)
+    out2 = str(tmp_path / "pack2")
+    lpips_export.export(combined=comb_path, out_dir=out2)
+
+    # Source layout 3: heads in the post-get_state_dict rename ({k}.1.weight).
+    renamed = {f"{s}.1.weight": torch.from_numpy(
+        lin_np[f"lin{s}.model.1.weight"]) for s in range(5)}
+    ren_path = str(tmp_path / "renamed.pth")
+    torch.save(renamed, ren_path)
+    out3 = str(tmp_path / "pack3")
+    lpips_export.main(["--vgg", vgg_path, "--lin", ren_path, "--out", out3])
+
+    # All three packs must produce the identical metric, equal to direct
+    # ingestion of the original checkpoints.
+    rng = np.random.RandomState(5)
+    a = rng.rand(3, 32, 32).astype(np.float32)
+    b = rng.rand(3, 32, 32).astype(np.float32)
+    direct = float(lpips_jax.lpips(
+        lpips_jax.load_weights(vgg_path, lin_path), a, b))
+    for out in (out1, out2, out3):
+        params = lpips_jax.load_weights(os.path.join(out, "vgg16.npz"),
+                                        os.path.join(out, "vgg.npz"))
+        np.testing.assert_allclose(
+            float(lpips_jax.lpips(params, a, b)), direct, rtol=1e-6)
+
+    # The evaluator's default discovery finds the pack with zero config.
+    monkeypatch.delenv("COPENERF_LPIPS_VGG", raising=False)
+    monkeypatch.delenv("COPENERF_LPIPS_LIN", raising=False)
+    monkeypatch.setattr(lpips_jax.os.path, "expanduser",
+                        lambda p: out1 if p.endswith("lpips") else p)
+    assert lpips_jax.lpips_fn_jax() is not None
+
+
+def test_export_rejects_malformed(tmp_path):
+    """Wrong shapes / missing keys fail loudly, never write a bad pack."""
+    from copenerf_tpu.evaluation import lpips_export
+
+    vgg_path, lin_path = _fake_checkpoints(tmp_path, "npz")
+    bad = dict(np.load(vgg_path))
+    bad["features.0.weight"] = bad["features.0.weight"][:, :2]  # wrong C_in
+    bad_path = str(tmp_path / "bad_vgg.npz")
+    np.savez(bad_path, **bad)
+    with pytest.raises(ValueError, match="features.0.weight"):
+        lpips_export.export(vgg=bad_path, lin=lin_path,
+                            out_dir=str(tmp_path / "never"))
+    assert not os.path.exists(str(tmp_path / "never"))
+
+    incomplete = {k: v for k, v in dict(np.load(lin_path)).items()
+                  if "lin4" not in k}
+    inc_path = str(tmp_path / "inc_lin.npz")
+    np.savez(inc_path, **incomplete)
+    with pytest.raises(KeyError, match="lin4"):
+        lpips_export.export(vgg=vgg_path, lin=inc_path,
+                            out_dir=str(tmp_path / "never"))
+
+
 @pytest.mark.skipif(not conftest.has_reference(),
                     reason="reference repo not available")
 def test_golden_vs_reference_lpips(tmp_path, monkeypatch):
