@@ -82,6 +82,49 @@ def test_distributed_helpers_single_process():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fullsize_sharded_step_matches_single_device():
+    """FULL-SIZE fields (256-wide 9-layer SDF, 64+64 samples) on the
+    8-device mesh == single device — the production program, not the
+    width-reduced test configs (only the ray count is small)."""
+    from copenerf_tpu.models import (ColorConfig, MotionConfig, NerfConfig,
+                                     SDFConfig, VarianceConfig)
+    from copenerf_tpu.ops.renderer import RendererConfig
+
+    full_cfgs = {"sdf": SDFConfig(), "color": ColorConfig(),
+                 "motion": MotionConfig(),
+                 "variance": VarianceConfig(init_val=0.3),
+                 "nerf": NerfConfig()}
+    rcfg = RendererConfig()          # 64 + 64, 4 up-sample rounds
+    static = T.StepStatic(
+        h=T.H, w=T.W, patch_size=4, n_points=16, stage1=True, n_images=7,
+        nb_sample_timestep=4, n_ref=3, train_motion=True,
+        sdf_cons_pose_grad=False, use_flow_rgb=True,
+        use_sdf_consistency=True)
+    mesh = make_mesh(8)
+    params = init_all_fields(jax.random.PRNGKey(0), full_cfgs)
+    batch = T._batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(5)
+
+    step_single = build_train_step(full_cfgs, rcfg, static, mesh=None)
+    step_sharded = build_train_step(full_cfgs, rcfg, static, mesh=mesh)
+
+    state_a = jax.tree_util.tree_map(jnp.array, init_train_state(params))
+    state_b = jax.tree_util.tree_map(jnp.array, init_train_state(params))
+    s1, m1 = step_single(state_a, batch, key)
+    s8, m8 = step_sharded(state_b, batch, key)
+
+    assert np.isfinite(float(m8["loss"]))
+    # Same math, different reduction order; deeper nets accumulate more
+    # rounding than the 64-wide configs, hence the looser tolerance.
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=5e-3)
+    a = np.asarray(s1["params"]["sdf"]["lin0"]["v"])
+    b = np.asarray(s8["params"]["sdf"]["lin0"]["v"])
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=1e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_image_renderer_matches_single_device():
     """Full-image eval rendering sharded over the mesh == unsharded."""
