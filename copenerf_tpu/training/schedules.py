@@ -67,9 +67,14 @@ class LRState:
             self.decay_steps = 0
 
     def on_epoch_end(self, epoch: int):
+        # torch MultiStepLR semantics: scheduler.step() at the end of epoch
+        # e INCREMENTS last_epoch to e+1 and decays if e+1 is a milestone —
+        # i.e. milestone m takes effect from epoch m's FIRST iteration.
+        # (Caught by the trajectory-parity harness: checking `epoch in
+        # milestones` here applied every decay one epoch late.)
         milestones = range(self.scheduling_start,
                            self.scheduling_epoch + self.scheduling_start, 10)
-        if epoch in milestones:
+        if (epoch + 1) in milestones:
             self.decay_steps += 1
 
     def lrs(self, it: int):

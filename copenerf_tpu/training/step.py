@@ -59,6 +59,11 @@ class StepStatic:
     use_sdf_consistency: bool
     use_importance: bool = True
     smooth_scale: int = 1  # coarse-to-fine scale s; losses scaled 1/2^s
+    # Test/parity hook: take ray indices + stratified jitter from the batch
+    # ("ray_idx", "t_rand") instead of sampling from the PRNG key, so a
+    # harness can replay the reference trainer's exact RNG stream through
+    # the REAL jitted step (tests/test_trajectory_parity.py).
+    inject_sampling: bool = False
 
 
 def sample_patch_indices(key, h: int, w: int, patch_size: int, n_points: int):
@@ -296,6 +301,10 @@ def build_train_step(field_cfgs: dict, rcfg: RendererConfig,
         params["motion"] = trainable["motion"]
 
         k_patch, k_render = jax.random.split(key)
+        if s.inject_sampling:
+            return compute_losses(field_cfgs, rcfg, s, params, batch,
+                                  batch["ray_idx"], key=k_render,
+                                  t_rand=batch["t_rand"], mesh=mesh)
         ray_idx = sample_patch_indices(k_patch, s.h, s.w, s.patch_size,
                                        s.n_points)
         return compute_losses(field_cfgs, rcfg, s, params, batch, ray_idx,
