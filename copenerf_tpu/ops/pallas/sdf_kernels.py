@@ -145,6 +145,24 @@ def _sig100(z):
     return jax.nn.sigmoid(100.0 * z)
 
 
+def _sig_softplus100(z):
+    """(sigmoid(100 z), softplus(100 z)/100) from ONE shared exp.
+
+    The activation chain is the VPU-bound part of the fused kernels
+    (README "Speed of light"); computing sigmoid and softplus separately
+    costs two exps + one log per element. Stable shared form:
+    with u = -|100 z| (so exp(u) <= 1 never overflows),
+      sigmoid(100 z)      = z > 0 ?  1/(1+e^u)  :  e^u/(1+e^u)
+      softplus(100 z)/100 = max(z, 0) + log1p(e^u)/100
+    — one exp + one log1p, equal to the separate forms to f32 rounding.
+    """
+    eu = jnp.exp(-jnp.abs(100.0 * z))
+    inv = 1.0 / (1.0 + eu)
+    sig = jnp.where(z > 0, inv, eu * inv)
+    sp = jnp.maximum(z, 0.0) + jnp.log1p(eu) * 0.01
+    return sig, sp
+
+
 # Kernel matmul input dtype. f32 + DEFAULT precision is the sweet spot on
 # v5e: measured as fast as bf16 single-pass inside kernels AND bit-identical
 # to XLA's default f32 matmuls — bf16 inputs are ~1e-2 off on the SDF value,
@@ -211,10 +229,9 @@ def _forward_tile(x, pec, w_refs, b_refs, geom: _Geom, keep: bool,
             w_l, b_l = w_l[:, :1], b_l[:, :1]
         z = _dot(t, w_l) + b_l
         if l < geom.n_lin - 1:
-            s = _sig100(z)
+            s, h = _sig_softplus100(z)
             if keep:
                 sigs.append(s)
-            h = _softplus100(z)
         else:
             h = z
     return h, (jwide, e, ts, sigs)
