@@ -47,12 +47,15 @@ from .sdf_kernels import (INV_SQRT2, _dot, _dot_t, _forward_tile, _Geom,
                           _grad_sweep_tile, _outer_acc, _pad_rows, _pe_jac,
                           _pe_jac_T, _prep, is_tpu_backend)
 
-DEFAULT_TILE_FWD = 256
+# Round-4 v5e sweep with shared-exp activations
+# (benchmarks/micro_rendercore.py, fwd+bwd ms at 131k pts):
+# fwd tile 128 -> 15.06, 256 -> 14.66, 384 -> 14.59, 512 -> 14.52 (best;
+# needs the fwd VMEM cap raised past the 16 MB scoped default).
+DEFAULT_TILE_FWD = 512
 # The backward holds both nets' weights + weight-grad accumulators + the
 # recomputed activation stacks in VMEM (vmem_limit_bytes raised past the
-# 16 MB scoped default). v5e sweep at 131k pts
-# (benchmarks/micro_rendercore.py), fwd+bwd ms: tile 128 -> 17.5,
-# 256 -> 15.8, 384 -> 15.4, 512 -> 14.9 (split outgrad+XLA-color: ~19.5).
+# 16 MB scoped default). Earlier bwd sweep: tile 128 -> 17.5, 256 -> 15.8,
+# 384 -> 15.4, 512 -> 14.9 (split outgrad+XLA-color: ~19.5).
 DEFAULT_TILE_BWD = 512
 
 
@@ -242,6 +245,10 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
         return pl.pallas_call(
             fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                # Tile 512 peaks ~16.5 MB — just past the 16 MB scoped
+                # default; raise the cap so the fwd tile can be swept too.
+                vmem_limit_bytes=32 * 1024 * 1024),
         )(x, dirs, jnp.asarray(sg.pe_consts), jnp.asarray(cg.pe_consts),
           *Ws, *bs, *Wc, *bc)
 
