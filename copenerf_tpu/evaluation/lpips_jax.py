@@ -88,10 +88,14 @@ def load_weights(vgg_path: str, lin_path: str) -> dict:
 
 
 def _conv(x, w, b):
-    # x (1, C, H, W), w OIHW -> SAME padding conv + bias.
+    # x (1, C, H, W), w OIHW -> SAME padding conv + bias. HIGHEST precision:
+    # the protocol metric must match the reference's f32 torch convs on
+    # every backend (TPU default conv is a bf16 pass; see metrics_image.ssim
+    # for the failure mode that motivated pinning metric precision).
     y = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
                                      dimension_numbers=("NCHW", "OIHW",
-                                                        "NCHW"))
+                                                        "NCHW"),
+                                     precision=jax.lax.Precision.HIGHEST)
     return y + b[None, :, None, None]
 
 

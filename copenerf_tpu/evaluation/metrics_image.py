@@ -30,13 +30,23 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = 11) -> jnp.ndarray:
     """(C, H, W) -> scalar mean SSIM with per-channel Gaussian filtering and
-    zero same-padding (co3d_metric.py:18-48)."""
+    zero same-padding (co3d_metric.py:18-48).
+
+    The window convs MUST run at HIGHEST precision: on TPU the default
+    conv is a bf16 pass, and the moment cancellation E[x^2] - E[x]^2 in
+    ~3 significant digits produces NEGATIVE window variances -> SSIM
+    escapes [0, 1] entirely (observed 1.10, and 0.46-at-PSNR-35 in the
+    round-3 e2e — on-device garbage, not image structure; CPU and HIGHEST
+    agree at 0.96 on the same render). Metric cost is negligible, protocol
+    exactness is not optional.
+    """
     window = jnp.asarray(_gaussian_window(window_size))
 
     def conv(img):
         # (C, H, W), window (k, k); depthwise conv with SAME zero padding.
         return jax.vmap(lambda ch: jax.lax.conv_general_dilated(
-            ch[None, None], window[None, None], (1, 1), "SAME")[0, 0])(img)
+            ch[None, None], window[None, None], (1, 1), "SAME",
+            precision=jax.lax.Precision.HIGHEST)[0, 0])(img)
 
     mu1 = conv(img1)
     mu2 = conv(img2)
