@@ -202,6 +202,17 @@ def test_golden_vs_reference_lpips(tmp_path, monkeypatch):
     conftest.setup_reference_trainer_env()  # torchvision stub (real vgg16)
     import torch
 
+    # test_metrics_golden stubs lpipsPyTorch.modules.lpips (LPIPS=object)
+    # to import co3d_metric without torchvision; if that ran first, evict
+    # the stub so the REAL reference module loads here.
+    import sys as _sys
+
+    _mod = _sys.modules.get("lpipsPyTorch.modules.lpips")
+    if _mod is not None and not hasattr(_mod, "get_state_dict"):
+        for _name in [m for m in list(_sys.modules)
+                      if m.startswith("lpipsPyTorch")]:
+            del _sys.modules[_name]
+
     from lpipsPyTorch.modules import lpips as ref_lpips_mod
 
     vgg_path, lin_path = _fake_checkpoints(tmp_path, "npz")
