@@ -97,8 +97,14 @@ class ImageRenderer:
             pts = out["sampled_points"]                    # (N, S, 3)
             pts_t = pts @ world_mat[:3, :3].T + world_mat[:3, 3]
             max_idx = jnp.argmax(weights, axis=1)
-            pts_max = jnp.take_along_axis(
-                pts_t, max_idx[:, None, None], axis=1)[:, 0]
+            # One-hot contraction instead of take_along_axis: per-row
+            # dynamic gathers lower to serial slices on TPU (see
+            # ops/sampling._gather_last_axis); exact since each row has a
+            # single 1.0, run at HIGHEST so no bf16 pass truncates pts.
+            onehot = (max_idx[:, None] ==
+                      jnp.arange(weights.shape[1])).astype(pts_t.dtype)
+            pts_max = jnp.einsum("ns,nsc->nc", onehot, pts_t,
+                                 precision=jax.lax.Precision.HIGHEST)
             depth_highest = -pts_max[:, 2]
             return {
                 "color": out["color_fine"],

@@ -18,6 +18,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _gather_last_axis(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather ``vals[..., idx]`` over the last axis as an EXACT
+    one-hot MXU contraction.
+
+    ``take_along_axis`` with per-row indices lowers to serial dynamic
+    slices on TPU — measured as the dominant cost of the importance
+    chain's glue (benchmarks/micro_importance.py). The one-hot product is
+    exact (each row has a single 1.0) but must run at HIGHEST precision:
+    a default bf16 pass would truncate the gathered VALUES.
+    """
+    s = vals.shape[-1]
+    onehot = (idx[..., None] == jnp.arange(s)).astype(vals.dtype)
+    return jax.lax.dot_general(
+        onehot, vals,
+        (((2,), (1,)), (tuple(range(vals.ndim - 1)),
+                        tuple(range(vals.ndim - 1)))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _searchsorted_right(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Batched searchsorted(side='right') over the last axis.
 
@@ -49,10 +68,10 @@ def sample_pdf(bins, weights, n_samples: int, *, u=None, prepend_zero=True):
     inds = _searchsorted_right(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = _gather_last_axis(cdf, below)
+    cdf_above = _gather_last_axis(cdf, above)
+    bins_below = _gather_last_axis(bins, below)
+    bins_above = _gather_last_axis(bins, above)
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
