@@ -170,12 +170,19 @@ def _fused_color_enabled() -> bool:
     return _FUSED_COLOR_MODE == "on"
 
 
+# Value-only paths carry far less VMEM state than the second-order outgrad
+# kernel, so they run at a larger row tile (v5e: the consistency-loss
+# value_diff fwd+bwd at 131k pts measures 6.51 ms at tile 256 vs 5.55 at
+# 512). The outgrad path stays at the sdf_kernels default.
+_VALUE_TILE = 512
+
+
 def sdf_value_nograd(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     """SDF value only, for stop-gradient regions (importance sweeps,
     marching-cubes grids). Shape (..., 4) -> (...,)."""
     if fused_sdf_enabled():
         from ..ops.pallas.sdf_kernels import get_fused_ops
-        return get_fused_ops(cfg).value(params, x)
+        return get_fused_ops(cfg, tile=_VALUE_TILE).value(params, x)
     return sdf_apply(cfg, params, x)[..., 0]
 
 
@@ -195,7 +202,7 @@ def sdf_scalar(cfg: SDFConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
     matmul and its backward sweeps (~30% fewer FLOPs than ``sdf_output``)."""
     if fused_sdf_enabled():
         from ..ops.pallas.sdf_kernels import get_fused_ops
-        return get_fused_ops(cfg).value_diff(params, x)
+        return get_fused_ops(cfg, tile=_VALUE_TILE).value_diff(params, x)
     return sdf_apply(cfg, params, x)[..., 0]
 
 

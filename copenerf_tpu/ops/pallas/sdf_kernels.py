@@ -453,6 +453,8 @@ def _build(cfg, tile: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
         )(x, jnp.asarray(geom.pe_consts), *Ws, *bs)[:, 0]
 
     def call_fwd(Ws, bs, x, with_grad: bool, value_only: bool = False):
@@ -473,6 +475,8 @@ def _build(cfg, tile: int, interpret: bool):
             out_specs=out_specs if with_grad else out_specs[0],
             out_shape=out_shape if with_grad else out_shape[0],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
         )(x, jnp.asarray(geom.pe_consts), *Ws, *bs)
 
     def call_bwd(Ws, bs, x, obar, gbar, second_order: bool,
@@ -513,7 +517,11 @@ def _build(cfg, tile: int, interpret: bool):
             in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                # Tiles past 256 peak just above the 16 MB scoped default
+                # (e.g. 16.9 MB at 512); raise the cap as in
+                # rendercore_kernels so the tile can be swept.
+                vmem_limit_bytes=32 * 1024 * 1024),
         )(*args, *Ws, *bs)
         x_bar = outs[0]
         w_bars = list(outs[1:1 + n])
