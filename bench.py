@@ -37,12 +37,12 @@ BASELINE_RAYS_PER_SEC_GPU_EST = 3000.0
 # vs reference 6.0 rays/s. Printed beside vs_baseline so the estimate can
 # never be mistaken for a measurement.
 MEASURED_CPU_RATIO = 7.5 / 6.0
-# v5e sweep (2026-08, this repo): 1024 -> 32.9k rays/s, 4096 -> 33.1k,
-# 8192 -> 32.5k — the train step is compute-bound (fwd + 2nd-order bwd at
-# MXU rates), so throughput is FLAT in batch size and the strict reference
-# protocol batch is also the honest headline shape. rays_per_step still
-# matters operationally (fewer dispatches/host syncs per epoch at equal
-# rays/s) and for multi-chip meshes (per-chip batch stays >= 1024).
+# v5e (2026-08, round-4 kernels): 1024 -> 40.7k rays/s, 4096 -> 42.2k —
+# the train step is compute-bound (fwd + 2nd-order bwd at MXU rates), so
+# throughput is near-FLAT in batch size and the strict reference protocol
+# batch is also the honest headline shape. rays_per_step still matters
+# operationally (fewer dispatches/host syncs per epoch at equal rays/s)
+# and for multi-chip meshes (per-chip batch stays >= 1024).
 RAYS_DEFAULT = 1024
 
 H, W = 540, 960
