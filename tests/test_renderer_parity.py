@@ -102,6 +102,21 @@ def test_sample_pdf_parity():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_gather_last_axis_exact():
+    """The one-hot MXU gather (TPU replacement for per-row
+    take_along_axis, ops/sampling._gather_last_axis) is bitwise equal to
+    take_along_axis for arbitrary values and indices."""
+    from copenerf_tpu.ops.sampling import _gather_last_axis
+
+    rng = np.random.RandomState(3)
+    vals = rng.randn(64, 129).astype(np.float32) * 1e3
+    idx = rng.randint(0, 129, size=(64, 16))
+    ours = np.asarray(_gather_last_axis(jnp.asarray(vals),
+                                        jnp.asarray(idx)))
+    ref = np.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_cat_z_vals_merge_equals_sort():
     """The bitonic-merge cat_z_vals == the full-sort oracle, at every
     importance-round shape (64+16 .. 112+16) and with exact-tie inputs."""
