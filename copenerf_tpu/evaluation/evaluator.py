@@ -19,6 +19,7 @@ from ..poses.lie import make_c2w
 from ..poses.retriever import pose_retriever_all, pose_retriever_init
 from ..training.checkpoints import load_pytree, save_pytree
 from ..training.depth_metrics import compute_depth_errors
+from ..training.schedules import MultiStepLR
 from ..training.step import make_optimizers, sample_patch_indices
 from ..training.trainer import Trainer
 from ..ops.rays import rays_from_pixels
@@ -103,12 +104,18 @@ class Evaluator(Trainer):
             return pose_params2, opt_state2, loss, l2
 
         num_epoch = int(self.cfg["eval"]["eval_pose_epoch"])
-        lr = float(self.cfg["eval"]["eval_pose_lr"])
-        gamma = float(self.cfg["eval"]["eval_pose_scheduler_gamma"])
-        milestones = set(range(0, num_epoch, max(num_epoch // 5, 1)))
+        # Reference eval.py:55-56: MultiStepLR(milestones=range(0, E, E/5),
+        # gamma). Milestone 0 fires at scheduler construction, so epoch 0
+        # already runs at lr*gamma (torch semantics, see
+        # training.schedules.MultiStepLR).
+        sched = MultiStepLR(
+            float(self.cfg["eval"]["eval_pose_lr"]),
+            range(0, num_epoch, max(num_epoch // 5, 1)),
+            float(self.cfg["eval"]["eval_pose_scheduler_gamma"]))
         self._log("Optimizing test-view poses")
         it = 0
         for epoch in range(num_epoch):
+            lr = sched.epoch_lr(epoch)
             l2s = []
             for view in range(len(test_idx)):
                 it += 1
@@ -118,8 +125,6 @@ class Evaluator(Trainer):
                     jnp.asarray(self.depth_range[0], jnp.float32),
                     jnp.asarray(self.depth_range[1], jnp.float32))
                 l2s.append(l2)  # device scalar; fetching here would stall
-            if epoch in milestones:
-                lr *= gamma
             if epoch % 10 == 0:
                 # One batched fetch per log line keeps the device pipeline
                 # busy the other 10*n_views steps.

@@ -52,7 +52,10 @@ class ImageRenderer:
                 "multiple — raise training.render_chunk or shrink the mesh")
         self.min_chunk = min(self.min_chunk, max(chunk, 1))
         if mesh is not None:
-            self.min_chunk += (-self.min_chunk) % mesh.size
+            # Round DOWN to a mesh multiple (never up: the cap is an HBM
+            # maximum). chunk >= mesh.size is guaranteed above, so the
+            # rounded value stays >= mesh.size.
+            self.min_chunk -= self.min_chunk % mesh.size
         self.chunk = self.min_chunk
         while self.chunk * 2 <= chunk:
             self.chunk *= 2

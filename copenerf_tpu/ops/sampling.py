@@ -30,10 +30,10 @@ def _gather_last_axis(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     s = vals.shape[-1]
     onehot = (idx[..., None] == jnp.arange(s)).astype(vals.dtype)
+    batch = tuple(range(vals.ndim - 1))
     return jax.lax.dot_general(
         onehot, vals,
-        (((2,), (1,)), (tuple(range(vals.ndim - 1)),
-                        tuple(range(vals.ndim - 1)))),
+        (((onehot.ndim - 1,), (vals.ndim - 1,)), (batch, batch)),
         precision=jax.lax.Precision.HIGHEST)
 
 

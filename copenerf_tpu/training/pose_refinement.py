@@ -19,6 +19,7 @@ import optax
 from ..ops.interp import grid_sample_bilinear
 from ..poses.lie import make_c2w, se3_inverse
 from ..poses.motion import full_video_w2c, w2c_mappings
+from .schedules import MultiStepLR
 from .step import make_optimizers
 
 
@@ -126,11 +127,14 @@ def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,
         return np.linalg.inv(w2c).astype(np.float32)
 
     loss_window = []
-    cur_lr = lr
-    milestones = set(range(30, 10000, 10))
+    # Reference pose_refinement.py:89-91: MultiStepLR(milestones=
+    # range(30, 10000, 10), gamma=0.9); torch decays the lr USED IN the
+    # milestone epoch (see training.schedules.MultiStepLR).
+    sched = MultiStepLR(lr, range(30, 10000, 10), 0.9)
     ran_any = False
     for epoch in range(epochs):
         ran_any = True
+        cur_lr = sched.epoch_lr(epoch)
         batch_losses, batch_sizes = [], []
         for start in range(0, n_pairs, batch_size):
             idx = jnp.arange(start, min(start + batch_size, n_pairs))
@@ -138,8 +142,6 @@ def run_pose_refinement(images, depths, k33_list, *, init_c2w=None,
                                                   jnp.asarray(cur_lr))
             batch_losses.append(loss)  # device scalar; keep pipeline busy
             batch_sizes.append(len(idx))
-        if epoch in milestones:
-            cur_lr *= 0.9
         # One batched fetch per epoch (needed for the convergence window).
         running = float(np.dot(jax.device_get(batch_losses),
                                batch_sizes)) / n_pairs

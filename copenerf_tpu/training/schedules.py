@@ -35,6 +35,35 @@ def cos_anneal_ratio(it: int, anneal_end: float) -> float:
     return float(min(1.0, it / anneal_end))
 
 
+class MultiStepLR:
+    """Torch ``MultiStepLR`` semantics for host-side per-epoch loops.
+
+    Torch decays the lr USED IN the milestone epoch: the scheduler's
+    construction runs one implicit ``step()`` (last_epoch -1 -> 0, so a
+    milestone at 0 means epoch 0 already runs at ``lr * gamma``), and the
+    ``step()`` after epoch m-1 pushes ``last_epoch`` to milestone m before
+    epoch m executes. Call :meth:`epoch_lr` once per epoch, in order.
+
+    Golden-tested against ``torch.optim.lr_scheduler.MultiStepLR`` in
+    ``tests/test_schedules_torch.py`` for both reference call sites
+    (``eval.py:55-56`` milestones ``range(0, E, E/5)`` and
+    ``utils_poses/pose_refinement.py:89-91`` milestones
+    ``range(30, 10000, 10)``).
+    """
+
+    def __init__(self, base_lr: float, milestones, gamma: float):
+        self.lr = float(base_lr)
+        self.milestones = set(int(m) for m in milestones)
+        self.gamma = float(gamma)
+
+    def epoch_lr(self, epoch: int) -> float:
+        """The lr in effect during ``epoch`` (epochs must be visited in
+        ascending order starting at 0)."""
+        if epoch in self.milestones:
+            self.lr *= self.gamma
+        return self.lr
+
+
 class LRState:
     """Tracks the effective learning rates across stage resets, warmup, drops
     and MultiStepLR decay — replicating the mutation order of the reference

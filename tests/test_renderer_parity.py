@@ -115,6 +115,14 @@ def test_gather_last_axis_exact():
                                         jnp.asarray(idx)))
     ref = np.take_along_axis(vals, idx, axis=-1)
     np.testing.assert_array_equal(ours, ref)
+    # Higher-rank batch dims (the dot_general dims are derived from ndim,
+    # not hardcoded for 2-D — round-4 advisor finding).
+    vals3 = rng.randn(4, 8, 33).astype(np.float32) * 1e3
+    idx3 = rng.randint(0, 33, size=(4, 8, 5))
+    ours3 = np.asarray(_gather_last_axis(jnp.asarray(vals3),
+                                         jnp.asarray(idx3)))
+    np.testing.assert_array_equal(ours3,
+                                  np.take_along_axis(vals3, idx3, axis=-1))
 
 
 def test_cat_z_vals_merge_equals_sort():
