@@ -8,7 +8,8 @@ real TPU and compares the full render outputs AND the train-step loss +
 parameter gradients against the plain-XLA path on the same chip.
 
 Run on hardware:  python benchmarks/check_fused_on_hw.py
-Record the output in README.md.
+Or as the per-round pytest gate (writes KERNEL_NUMERICS.json):
+                  python -m pytest tpu_tests -q
 """
 
 import json
@@ -19,7 +20,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
+def run_check() -> dict:
+    """Three-way fused-vs-XLA-default-vs-f32-HIGHEST comparison on the
+    current jax backend. Returns the report dict (key ``ok``)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -157,8 +160,13 @@ def main():
                                         "xla_default_vs_f32": c_off}
     ok &= (1.0 - c_on) <= max(3.0 * (1.0 - c_off), 1e-6)
     report["ok"] = bool(ok)
+    return report
+
+
+def main():
+    report = run_check()
     print(json.dumps(report, indent=1))
-    sys.exit(0 if ok else 1)
+    sys.exit(0 if report["ok"] else 1)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,14 @@ class Evaluator(Trainer):
     def __init__(self, cfg: dict, verbose: bool = True):
         super().__init__(cfg, verbose=verbose)
         self._load_refine_pose()  # pose_retriever (train views)
+        # Optional injected (ray_idx, t_rand) per-iteration streams for the
+        # cross-implementation trajectory-parity harness
+        # (tests/test_trajectory_parity_stage2.py); None = sample on device.
+        self.eval_inject_streams = None
+        # Introspection traces filled by eval_optimization: lr per epoch,
+        # per-iteration photometric l2 (fetched once at the end).
+        self.eval_lr_trace = []
+        self.eval_l2_trace = None
 
     # ------------------------------------------------------------------
     def eval_optimization(self):
@@ -74,11 +82,18 @@ class Evaluator(Trainer):
         test_images = jnp.asarray(self.test_field.imgs)
         test_k = jnp.asarray(self.test_field.K[self.test_field.i_test])
 
+        inject = self.eval_inject_streams is not None
+
         @jax.jit
-        def pose_step(pose_params, opt_state, view, key, lr, near, far):
+        def pose_step(pose_params, opt_state, view, key, lr, near, far,
+                      ray_idx_in, t_rand_in):
             def loss_fn(pp):
                 world = make_c2w(pp["r"][view], pp["t"][view]) @ init_c2w[view]
-                ray_idx = sample_patch_indices(key, h, w, 1, n_points)
+                if inject:
+                    ray_idx, t_rand = ray_idx_in, t_rand_in
+                else:
+                    ray_idx = sample_patch_indices(key, h, w, 1, n_points)
+                    t_rand = None
                 row = (ray_idx // w).astype(jnp.float32)
                 col = (ray_idx % w).astype(jnp.float32)
                 p_norm = jnp.stack([2 * col / (w - 1) - 1,
@@ -91,7 +106,7 @@ class Evaluator(Trainer):
                 out = render(field_cfgs, params, rays_o, rays_d, rays_d_norm,
                              jnp.asarray(self.world_time_step), near_v, far_v,
                              rcfg=rcfg, cos_anneal_ratio=1.0, train=True,
-                             key=jax.random.fold_in(key, 1))
+                             key=jax.random.fold_in(key, 1), t_rand=t_rand)
                 diff = out["color_fine"] - rgb_gt
                 loss = jnp.sum(jnp.abs(diff)) / n_points
                 return loss, jnp.mean(diff ** 2)
@@ -114,23 +129,37 @@ class Evaluator(Trainer):
             float(self.cfg["eval"]["eval_pose_scheduler_gamma"]))
         self._log("Optimizing test-view poses")
         it = 0
+        self.eval_lr_trace = []
+        l2_all = []
+        dummy_idx = jnp.zeros((n_points,), jnp.int32)
+        dummy_tr = jnp.zeros((n_points, rcfg.n_samples), jnp.float32)
         for epoch in range(num_epoch):
             lr = sched.epoch_lr(epoch)
+            self.eval_lr_trace.append(lr)
             l2s = []
             for view in range(len(test_idx)):
                 it += 1
                 key = jax.random.fold_in(self._base_key, 10_000_000 + it)
+                if inject:
+                    ridx, trand = self.eval_inject_streams[it - 1]
+                    ridx = jnp.asarray(ridx, jnp.int32)
+                    trand = jnp.asarray(trand, jnp.float32)
+                else:
+                    ridx, trand = dummy_idx, dummy_tr
                 pose_params, opt_state, loss, l2 = pose_step(
                     pose_params, opt_state, view, key, jnp.asarray(lr),
                     jnp.asarray(self.depth_range[0], jnp.float32),
-                    jnp.asarray(self.depth_range[1], jnp.float32))
+                    jnp.asarray(self.depth_range[1], jnp.float32),
+                    ridx, trand)
                 l2s.append(l2)  # device scalar; fetching here would stall
+            l2_all.extend(l2s)
             if epoch % 10 == 0:
                 # One batched fetch per log line keeps the device pipeline
                 # busy the other 10*n_views steps.
                 psnr_v = -10 * np.log10(
                     max(np.mean(jax.device_get(l2s)), 1e-10))
                 self._log(f"eval pose epoch {epoch}: psnr {psnr_v:.2f}")
+        self.eval_l2_trace = np.asarray(jax.device_get(l2_all))
         self.pose_retriever_test = (pose_params, init_c2w)
         save_pytree(cache, {"r": pose_params["r"], "t": pose_params["t"],
                             "init": np.asarray(init_c2w)})

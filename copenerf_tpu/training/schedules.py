@@ -65,10 +65,20 @@ class MultiStepLR:
 
 
 class LRState:
-    """Tracks the effective learning rates across stage resets, warmup, drops
-    and MultiStepLR decay — replicating the mutation order of the reference
-    trainer: lr_drop_half (:345-352), stage-2 reset (:360-368), warmup
-    (:410-413), scheduler.step() per epoch (:559-560)."""
+    """Tracks the effective learning rates across stage resets, warmup,
+    drops and MultiStepLR decay by replicating the reference trainer's
+    MUTATIONS OF THE OPTIMIZER GROUP LR, in its order: lr_drop_half
+    (:345-352), stage-2 reset (:360-368), warmup overwrite per iteration
+    (:265-271, 410-413), scheduler.step() per epoch (:559-560).
+
+    The mutation model matters: torch's MultiStepLR multiplies whatever the
+    group currently holds, and the warmup OVERWRITES the group with
+    ``base_lr * factor`` — so a milestone (or half-drop) that fires while
+    warmup is still running is ERASED by the next overwrite. A closed-form
+    ``base * gamma^decays`` model diverges there (caught by
+    tests/test_trajectory_parity_stage2.py at it=31 with a milestone at
+    epoch 2 inside a 30-it warmup).
+    """
 
     def __init__(self, cfg_training: dict):
         self.base_lr = cfg_training["learning_rate"]
@@ -80,38 +90,48 @@ class LRState:
         self.warm_up_it = cfg_training["nb_warm_up_it"]
         self.lr_drop_half_epoch = list(cfg_training.get("lr_drop_half_epoch",
                                                         []) or [])
-        # Current pre-schedule bases (mutated by drops / stage resets).
+        # The mutable "optimizer group" lrs.
         self.cur_lr = self.base_lr
         self.cur_motion_lr = self.base_motion_lr
-        self.decay_steps = 0  # milestones already applied
+
+    def _milestones(self):
+        return range(self.scheduling_start,
+                     self.scheduling_epoch + self.scheduling_start, 10)
 
     def on_epoch_start(self, epoch: int, stage2_starts_now: bool):
         if epoch in self.lr_drop_half_epoch:
             self.cur_lr /= 2.0
             self.cur_motion_lr /= 2.0
         if stage2_starts_now:
-            # Stage-2 transition resets field lr and freezes motion lr.
+            # Stage-2 transition resets field lr and freezes motion lr
+            # (train.py:362-368); future milestones multiply from here.
             self.cur_lr = self.base_lr
             self.cur_motion_lr = 0.0
-            self.decay_steps = 0
 
     def on_epoch_end(self, epoch: int):
-        # torch MultiStepLR semantics: scheduler.step() at the end of epoch
-        # e INCREMENTS last_epoch to e+1 and decays if e+1 is a milestone —
-        # i.e. milestone m takes effect from epoch m's FIRST iteration.
-        # (Caught by the trajectory-parity harness: checking `epoch in
-        # milestones` here applied every decay one epoch late.)
-        milestones = range(self.scheduling_start,
-                           self.scheduling_epoch + self.scheduling_start, 10)
-        if (epoch + 1) in milestones:
-            self.decay_steps += 1
+        # torch MultiStepLR: scheduler.step() at the end of epoch e
+        # increments last_epoch to e+1 and multiplies the CURRENT group lr
+        # if e+1 is a milestone — milestone m takes effect from epoch m's
+        # first iteration.
+        if (epoch + 1) in self._milestones():
+            self.cur_lr *= self.gamma
+            self.cur_motion_lr *= self.motion_gamma
 
     def lrs(self, it: int):
         if 0 <= it <= self.warm_up_it:
-            # The reference overwrites the optimizer lr with base_lr * factor
-            # during warmup (train.py:265-271), ignoring decay/drops.
-            lr = self.base_lr * warmup_factor(it, self.warm_up_it)
-        else:
-            lr = self.cur_lr * (self.gamma ** self.decay_steps)
-        motion_lr = self.cur_motion_lr * (self.motion_gamma ** self.decay_steps)
-        return lr, motion_lr
+            # Warmup OVERWRITES the field group lr (train.py:265-271);
+            # the motion group is untouched (the reference's motion-warmup
+            # block is commented out, :270-271).
+            self.cur_lr = self.base_lr * warmup_factor(it, self.warm_up_it)
+        return self.cur_lr, self.cur_motion_lr
+
+    def replay_epoch(self, epoch: int, its_per_epoch: int,
+                     stage2_starts_now: bool):
+        """Fast-forward one already-trained epoch on resume: the same
+        mutation sequence train() would have produced, without stepping."""
+        self.on_epoch_start(epoch, stage2_starts_now)
+        first_it = epoch * its_per_epoch
+        last_it = first_it + its_per_epoch - 1
+        if first_it <= self.warm_up_it:
+            self.lrs(min(last_it, self.warm_up_it))
+        self.on_epoch_end(epoch)

@@ -52,6 +52,13 @@ class Trainer:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
+        # Multi-host wiring must happen BEFORE any jax computation (the
+        # PRNGKey below initializes the runtime; jax.distributed.initialize
+        # refuses to run after that). Mesh construction stays below.
+        if tr.get("distributed"):
+            from ..parallel import distributed as _dist
+
+            _dist.initialize()
         self.seed = tr["seed"]
         np.random.seed(self.seed)
         self._base_key = jax.random.PRNGKey(self.seed)
@@ -119,7 +126,9 @@ class Trainer:
             self._log("No checkpoint found ==> train from scratch")
 
         self.lr_state = LRState(tr)
-        self.logger = ScalarLogger(self.out_dir)
+        # One writer per multi-host job (same gating as checkpoints).
+        self.logger = ScalarLogger(self.out_dir,
+                                   enabled=(jax.process_index() == 0))
         from ..utils.profiling import StepTimer
 
         self.step_timer = StepTimer(
@@ -601,9 +610,12 @@ class Trainer:
         if self.epoch_it > self.start_query_world_epoch:
             self._log("Loading pre-computed camera poses")
             self._load_refine_pose()
-        # Rebuild LR decay count on resume.
+        # Rebuild the group-lr mutation sequence on resume (decays, drops,
+        # warmup overwrites, stage-2 reset — order matters, see LRState).
         for e in range(0, self.current_epoch):
-            self.lr_state.on_epoch_end(e)
+            self.lr_state.replay_epoch(
+                e, self.train_field.N_imgs,
+                stage2_starts_now=(e == self.start_query_world_epoch))
         return self.resolution
 
     def train(self, max_epochs: int | None = None):

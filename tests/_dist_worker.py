@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=("step", "trainer"), default="step")
+    ap.add_argument("--scene-path")
+    ap.add_argument("--scene-name")
+    ap.add_argument("--out-dir")
+    ap.add_argument("--max-epochs", type=int, default=2)
+    ap.add_argument("--expect-resume-epoch", type=int, default=-1)
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -56,6 +62,9 @@ def main():
         f.write("ok")
     assert jax.process_count() == args.num_processes, jax.process_count()
     assert dist.is_primary() == (args.process_id == 0)
+
+    if args.mode == "trainer":
+        return trainer_mode(args, dist)
 
     import numpy as np
     import jax.numpy as jnp
@@ -93,6 +102,68 @@ def main():
         json.dump({"loss": loss, "gsum": gsum,
                    "leaf": leaf.tolist(),
                    "process_count": jax.process_count()}, f)
+    jax.distributed.shutdown()
+
+
+def trainer_mode(args, dist):
+    """REAL multi-epoch Trainer endurance under jax.distributed: train N
+    epochs of the sharded step, primary-gated checkpointing
+    (trainer.py:742-748), resume across a process restart, and the
+    process-local render mesh (trainer.py:190-194)."""
+    import json
+
+    import numpy as np
+    import jax
+
+    from test_trainer_e2e import _tiny_cfg
+    from copenerf_tpu.training.trainer import Trainer
+
+    cfg = _tiny_cfg(args.scene_path, args.scene_name, args.out_dir)
+    cfg["training"].update({
+        "distributed": True,
+        "checkpoint_every": 1,
+        "scheduling_start": 2,
+        "scheduling_epoch": 4,
+        "start_query_world_epoch": 10 ** 6,   # stage 1 only
+        "eval_pose_every": 10 ** 6,
+        "print_every": 10 ** 6,
+    })
+    trainer = Trainer(cfg, verbose=(args.process_id == 0))
+    assert trainer.mesh is not None and trainer.mesh.size == 8, trainer.mesh
+    if args.expect_resume_epoch >= 0:
+        assert trainer.checkpoint_loaded, "resume run found no checkpoint"
+        assert trainer.epoch_it + 1 == args.expect_resume_epoch, \
+            trainer.epoch_it
+    trainer.train(max_epochs=args.max_epochs)
+    trainer.save_checkpoint()   # primary-gated inside
+
+    # Process-LOCAL render mesh: under multi-process training the image
+    # renderer must run on local devices only (each process renders
+    # independently).
+    res = trainer.image_renderer.render_image(
+        trainer.state["params"], trainer.train_field.K[0],
+        np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32),
+        trainer.time_of(0), (12, 16), trainer.depth_range, 1.0)
+    render_mean = float(np.mean(res["color"]))
+    assert np.isfinite(render_mean)
+
+    leaves = jax.tree_util.tree_leaves(trainer.state["params"])
+    flat = np.concatenate([np.asarray(x, np.float64).ravel()
+                           for x in leaves])
+    with open(args.out, "w") as f:
+        json.dump({
+            "mode": "trainer",
+            "process_count": jax.process_count(),
+            "is_primary": dist.is_primary(),
+            "it": trainer.it,
+            "epoch_it": trainer.epoch_it,
+            "param_norm": float(np.linalg.norm(flat)),
+            "param_head": flat[:16].tolist(),
+            "render_mean": render_mean,
+            "ckpt_exists": __import__("os").path.isfile(
+                __import__("os").path.join(args.out_dir, "models", "weights",
+                                           "model.ckpt.npz")),
+        }, f)
     jax.distributed.shutdown()
 
 

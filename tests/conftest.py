@@ -74,7 +74,20 @@ def _install_torchvision_stub():
     if tv is None:
         tv = types.ModuleType("torchvision")
         tvu = types.ModuleType("torchvision.utils")
-        tvu.flow_to_image = None  # only reached inside vis try/except
+
+        def _flow_to_image(flow):
+            # Magnitude visualization stand-in for torchvision's HSV
+            # encoding: render_visdata only saves the result as a debug
+            # image. (A bare None is NOT enough: the reference's
+            # try/except fallback at model/training.py:302-303 calls
+            # torch.zeros_like on a numpy array and crashes.)
+            import torch as _t
+
+            mag = _t.linalg.norm(flow.float(), dim=0, keepdim=True)
+            return (mag / (mag.max() + 1e-6) * 255).to(
+                _t.uint8).repeat(3, 1, 1)
+
+        tvu.flow_to_image = _flow_to_image
         tvt = types.ModuleType("torchvision.transforms")
         tv.utils, tv.transforms = tvu, tvt
         sys.modules["torchvision"] = tv
@@ -118,6 +131,9 @@ def setup_reference_trainer_env():
     import torch
 
     torch.Tensor.cuda = lambda self, *a, **k: self
+    # Module.cuda is hit by the reference's pose refinement (:87) and
+    # eval-time pose optimization (eval.py:52).
+    torch.nn.Module.cuda = lambda self, *a, **k: self
     if not getattr(torch, "_copenerf_cpu_patched", False):
         torch._copenerf_cpu_patched = True
         orig_tensor_to = torch.Tensor.to
