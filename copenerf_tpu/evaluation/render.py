@@ -129,6 +129,15 @@ class ImageRenderer:
         depth_highest (h, w) [, weights/pts per chunk when ``want_pts``]."""
         h, w = int(resolution[0]), int(resolution[1])
         n = h * w
+        if jax.process_count() > 1:
+            # Under multi-process training the params are arrays on the
+            # GLOBAL mesh; this render program runs on the process-LOCAL
+            # mesh (each process renders independently). Fully-replicated
+            # global arrays convert to host numpy, which the local jit
+            # re-places on local devices. (Caught by the 2-process
+            # endurance test: feeding global-mesh params into the local
+            # sharding constraint is a device-set mismatch.)
+            params = jax.tree_util.tree_map(np.asarray, params)
         # Effective chunk: next power of two covering n, capped at self.chunk.
         chunk = self.min_chunk
         while chunk < n and chunk < self.chunk:

@@ -233,7 +233,18 @@ def _load_ref_eval_module(ref_train):
     """Import /root/reference/eval.py with its absent pip deps stubbed."""
     if "lpips" not in sys.modules:
         lp = types.ModuleType("lpips")
-        lp.LPIPS = lambda *a, **k: (lambda *aa, **kk: torch.tensor(0.0))
+
+        class _StubLPIPS:  # pip-lpips absent; eval.py:196 calls .cuda()
+            def __init__(self, *a, **k):
+                pass
+
+            def cuda(self, *a, **k):
+                return self
+
+            def __call__(self, *a, **k):
+                return torch.tensor(0.0)
+
+        lp.LPIPS = _StubLPIPS
         sys.modules["lpips"] = lp
     # eval.py does `from train import Trainer`; make sure that resolves to
     # the already-loaded reference module, not our repo-root CLI shim.
