@@ -229,6 +229,31 @@ def sdf_grad_color(sdf_cfg: SDFConfig, color_cfg, params_sdf: dict,
     return out[..., :1], grad, color
 
 
+def sdf_grad_color_cons(sdf_cfg, color_cfg, params_sdf: dict,
+                        params_color: dict, x: jnp.ndarray,
+                        dirs: jnp.ndarray, y: jnp.ndarray):
+    """``sdf_grad_color`` with the sdf-consistency re-query FOLDED IN:
+    also evaluates the differentiable SDF value at the world-transformed
+    batch ``y`` (reference train.py:495-505) and returns it as a fourth
+    output ``sdf_w (...,)``.
+
+    On TPU with fused kernels the whole thing is ONE Pallas launch pair:
+    the value query shares the render-core kernel's weight residency and
+    its weight-gradient accumulation stream, replacing the separate
+    value-kernel fwd+bwd that cost ~5.6 ms/step (round-4 ablation).
+    Elsewhere it composes the oracles (identical math).
+    """
+    if (fused_sdf_enabled() and color_cfg.mode == "idr"
+            and not color_cfg.use_negative_ray_vector):
+        from ..ops.pallas.rendercore_kernels import get_fused_rendercore_cons
+        return get_fused_rendercore_cons(sdf_cfg, color_cfg)(
+            params_sdf, params_color, x, dirs, y)
+    sdf, grad, color = sdf_grad_color(sdf_cfg, color_cfg, params_sdf,
+                                      params_color, x, dirs)
+    sdf_w = sdf_scalar(sdf_cfg, params_sdf, y)
+    return sdf, grad, color, sdf_w
+
+
 def sdf_output_and_gradient(cfg: SDFConfig, params: dict, x: jnp.ndarray):
     """Hot-path combo with reference semantics: returns (out, grad) where
     ``out`` is differentiable w.r.t. ``x`` but ``grad``'s x-dependence is

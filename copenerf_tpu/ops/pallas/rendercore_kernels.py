@@ -61,7 +61,7 @@ DEFAULT_TILE_BWD = 512
 
 @functools.lru_cache(maxsize=8)
 def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
-           interpret: bool):
+           interpret: bool, with_cons: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -70,14 +70,54 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
     ns, nc = sg.n_lin, cg.n_lin
     assert cg.d_pts == sg.d_in and cg.d_grad == sg.d_in
 
+    def _value_only_bwd(y, swbar, pes, ws, bs_):
+        """First-order value-only backward at the world-transformed points
+        (the sdf-consistency re-query), sharing the VMEM-resident weights:
+        forward (value head only) + channel-A down-sweep. Returns
+        (sdf_w (T, 1), y_bar, wb_add[ns] (last entry (in, 1)), bb_add[ns]
+        (last entry (1, 1)))."""
+        z_w, (jwide_w, e_w, ts_w, sigs_w) = _forward_tile(
+            y, pes, ws, bs_, sg, keep=True, value_only=True)
+        z_A = swbar * (1.0 / sg.scale)
+        e_hat = jnp.zeros_like(e_w)
+        wb_add = [None] * ns
+        bb_add = [None] * ns
+        for l in range(ns - 1, -1, -1):
+            w_l = ws[l][:]
+            if l == ns - 1:
+                w_l = w_l[:, :1]
+            wb_add[l] = _outer_acc(ts_w[l], z_A)
+            bb_add[l] = jnp.sum(z_A, axis=0)[None, :]
+            tA = _dot_t(z_A, w_l)
+            if l in sg.skip:
+                od = sg.out_dims[l - 1]
+                e_hat = e_hat + tA[:, od:] * INV_SQRT2
+                hA = tA[:, :od] * INV_SQRT2
+            else:
+                hA = tA
+            if l > 0:
+                z_A = hA * sigs_w[l - 1]
+            else:
+                e_hat = e_hat + hA
+        y_bar = _pe_jac_T(jwide_w, e_hat, pes, sg) * sg.scale
+        return z_w / sg.scale, y_bar, wb_add, bb_add
+
     # ---------------- forward ----------------
     def fwd_kernel(*refs):
         x_ref, d_ref, pes_ref, pev_ref = refs[:4]
-        ws = refs[4:4 + ns]
-        bs_ = refs[4 + ns:4 + 2 * ns]
-        wc = refs[4 + 2 * ns:4 + 2 * ns + nc]
-        bc = refs[4 + 2 * ns + nc:4 + 2 * ns + 2 * nc]
-        sdf_ref, grad_ref, col_ref = refs[-3:]
+        off = 4
+        y_ref = None
+        if with_cons:
+            y_ref = refs[4]
+            off = 5
+        ws = refs[off:off + ns]
+        bs_ = refs[off + ns:off + 2 * ns]
+        wc = refs[off + 2 * ns:off + 2 * ns + nc]
+        bc = refs[off + 2 * ns + nc:off + 2 * ns + 2 * nc]
+        if with_cons:
+            sdf_ref, grad_ref, col_ref, sdfw_ref = refs[-4:]
+        else:
+            sdf_ref, grad_ref, col_ref = refs[-3:]
 
         pes = pes_ref[:]
         z, (jwide, _, _, sigs) = _forward_tile(
@@ -91,22 +131,36 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
         c, _ = _color_forward_tile(x_ref[:], d_ref[:], grad, feat,
                                    pev_ref[:], wc, bc, cg, keep=False)
         col_ref[:] = c
+        if with_cons:
+            z_w, _ = _forward_tile(y_ref[:], pes, ws, bs_, sg, keep=False,
+                                   value_only=True)
+            sdfw_ref[:] = z_w / sg.scale
 
     # ---------------- backward ----------------
     def bwd_kernel(*refs):
         (x_ref, d_ref, pes_ref, pev_ref, sbar_ref, gbar_ref,
          cbar_ref) = refs[:7]
         off = 7
+        y_ref = swbar_ref = None
+        if with_cons:
+            y_ref, swbar_ref = refs[7], refs[8]
+            off = 9
         ws = refs[off:off + ns]
         bs_ = refs[off + ns:off + 2 * ns]
         wc = refs[off + 2 * ns:off + 2 * ns + nc]
         bc = refs[off + 2 * ns + nc:off + 2 * ns + 2 * nc]
         outs = refs[off + 2 * ns + 2 * nc:]
+        k = 0
         xbar_ref, dbar_ref = outs[0], outs[1]
-        wbar_s = outs[2:2 + ns]
-        bbar_s = outs[2 + ns:2 + 2 * ns]
-        wbar_c = outs[2 + 2 * ns:2 + 2 * ns + nc]
-        bbar_c = outs[2 + 2 * ns + nc:2 + 2 * ns + 2 * nc]
+        k = 2
+        ybar_ref = None
+        if with_cons:
+            ybar_ref = outs[2]
+            k = 3
+        wbar_s = outs[k:k + ns]
+        bbar_s = outs[k + ns:k + 2 * ns]
+        wbar_c = outs[k + 2 * ns:k + 2 * ns + nc]
+        bbar_c = outs[k + 2 * ns + nc:k + 2 * ns + 2 * nc]
 
         i = pl.program_id(0)
         n_rows = x_ref.shape[0]
@@ -198,6 +252,24 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
         xbar_ref[:] = (_pe_jac_T(jwide, e_hat, pes, sg) * sg.scale
                        + x_bar_color)
 
+        if with_cons:
+            # Consistency re-query backward, accumulated into the SAME
+            # weight-gradient blocks (one accumulation stream, no separate
+            # launch or weight reload).
+            _, y_bar, wb_add, bb_add = _value_only_bwd(
+                y_ref[:], swbar_ref[:], pes, ws, bs_)
+            ybar_ref[:] = y_bar
+            for l in range(ns - 1):
+                wb[l] = wb[l] + wb_add[l]
+                bb[l] = bb[l] + bb_add[l]
+            pad_w = jnp.zeros((sg.in_dims[ns - 1], sg.d_out - 1),
+                              jnp.float32)
+            wb[ns - 1] = wb[ns - 1] + jnp.concatenate(
+                [wb_add[ns - 1], pad_w], axis=-1)
+            bb[ns - 1] = bb[ns - 1] + jnp.concatenate(
+                [bb_add[ns - 1], jnp.zeros((1, sg.d_out - 1), jnp.float32)],
+                axis=-1)
+
         for l in range(ns):
             @pl.when(i == 0)
             def _(l=l):
@@ -228,45 +300,64 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
         return pl.BlockSpec(shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    def call_fwd(Ws, bs, Wc, bc, x, dirs):
+    def call_fwd(Ws, bs, Wc, bc, x, dirs, y=None):
         tile = tile_fwd
         grid = (x.shape[0] // tile,)
-        in_specs = ([_row(tile, sg.d_in), _row(tile, cg.d_dirs),
-                     _full(sg.pe_consts.shape), _full(cg.pe_consts.shape)]
-                    + [_full(w.shape) for w in Ws]
-                    + [_full(b.shape) for b in bs]
-                    + [_full(w.shape) for w in Wc]
-                    + [_full(b.shape) for b in bc])
+        in_specs = [_row(tile, sg.d_in), _row(tile, cg.d_dirs),
+                    _full(sg.pe_consts.shape), _full(cg.pe_consts.shape)]
+        args = [x, dirs, jnp.asarray(sg.pe_consts),
+                jnp.asarray(cg.pe_consts)]
+        if with_cons:
+            in_specs.append(_row(tile, sg.d_in))
+            args.append(y)
+        in_specs += ([_full(w.shape) for w in Ws]
+                     + [_full(b.shape) for b in bs]
+                     + [_full(w.shape) for w in Wc]
+                     + [_full(b.shape) for b in bc])
         out_specs = [_row(tile, 1), _row(tile, sg.d_in), _row(tile, 3)]
         out_shape = [jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
                      jax.ShapeDtypeStruct((x.shape[0], sg.d_in),
                                           jnp.float32),
                      jax.ShapeDtypeStruct((x.shape[0], 3), jnp.float32)]
+        if with_cons:
+            out_specs.append(_row(tile, 1))
+            out_shape.append(jax.ShapeDtypeStruct((x.shape[0], 1),
+                                                  jnp.float32))
         return pl.pallas_call(
             fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 # Tile 512 peaks ~16.5 MB — just past the 16 MB scoped
-                # default; raise the cap so the fwd tile can be swept too.
-                vmem_limit_bytes=32 * 1024 * 1024),
-        )(x, dirs, jnp.asarray(sg.pe_consts), jnp.asarray(cg.pe_consts),
-          *Ws, *bs, *Wc, *bc)
+                # default; raise the cap so the fwd tile can be swept too
+                # (the cons variant adds one more value-forward stack).
+                vmem_limit_bytes=48 * 1024 * 1024),
+        )(*args, *Ws, *bs, *Wc, *bc)
 
-    def call_bwd(Ws, bs, Wc, bc, x, dirs, sbar, gbar, cbar):
+    def call_bwd(Ws, bs, Wc, bc, x, dirs, sbar, gbar, cbar,
+                 y=None, swbar=None):
         tile = tile_bwd
         grid = (x.shape[0] // tile,)
-        in_specs = ([_row(tile, sg.d_in), _row(tile, cg.d_dirs),
-                     _full(sg.pe_consts.shape), _full(cg.pe_consts.shape),
-                     _row(tile, 1), _row(tile, sg.d_in), _row(tile, 3)]
-                    + [_full(w.shape) for w in Ws]
-                    + [_full(b.shape) for b in bs]
-                    + [_full(w.shape) for w in Wc]
-                    + [_full(b.shape) for b in bc])
+        in_specs = [_row(tile, sg.d_in), _row(tile, cg.d_dirs),
+                    _full(sg.pe_consts.shape), _full(cg.pe_consts.shape),
+                    _row(tile, 1), _row(tile, sg.d_in), _row(tile, 3)]
+        args = [x, dirs, jnp.asarray(sg.pe_consts),
+                jnp.asarray(cg.pe_consts), sbar, gbar, cbar]
+        if with_cons:
+            in_specs += [_row(tile, sg.d_in), _row(tile, 1)]
+            args += [y, swbar]
+        in_specs += ([_full(w.shape) for w in Ws]
+                     + [_full(b.shape) for b in bs]
+                     + [_full(w.shape) for w in Wc]
+                     + [_full(b.shape) for b in bc])
         out_specs = [_row(tile, sg.d_in), _row(tile, cg.d_dirs)]
         out_shape = [jax.ShapeDtypeStruct((x.shape[0], sg.d_in),
                                           jnp.float32),
                      jax.ShapeDtypeStruct((x.shape[0], cg.d_dirs),
                                           jnp.float32)]
+        if with_cons:
+            out_specs.append(_row(tile, sg.d_in))
+            out_shape.append(jax.ShapeDtypeStruct((x.shape[0], sg.d_in),
+                                                  jnp.float32))
         for w in list(Ws) + list(bs) + list(Wc) + list(bc):
             out_specs.append(_full(w.shape))
             out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
@@ -279,17 +370,22 @@ def _build(sdf_cfg, color_cfg, tile_fwd: int, tile_bwd: int,
                 # activation stacks peak ~21 MB at tile 256 — above the
                 # conservative 16 MB scoped default but well within the
                 # chip's physical VMEM; raise the cap instead of shrinking
-                # the tile (256 measured 10% faster than 128).
-                vmem_limit_bytes=48 * 1024 * 1024),
-        )(x, dirs, jnp.asarray(sg.pe_consts), jnp.asarray(cg.pe_consts),
-          sbar, gbar, cbar, *Ws, *bs, *Wc, *bc)
+                # the tile (256 measured 10% faster than 128). The cons
+                # variant adds the value-path ts/sigs stacks (~10 MB at
+                # tile 512).
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(*args, *Ws, *bs, *Wc, *bc)
         xbar, dbar = outs[0], outs[1]
         k = 2
+        ybar = None
+        if with_cons:
+            ybar = outs[2]
+            k = 3
         wbar_s = list(outs[k:k + ns]); k += ns
         bbar_s = list(outs[k:k + ns]); k += ns
         wbar_c = list(outs[k:k + nc]); k += nc
         bbar_c = list(outs[k:k + nc])
-        return xbar, dbar, wbar_s, bbar_s, wbar_c, bbar_c
+        return xbar, dbar, ybar, wbar_s, bbar_s, wbar_c, bbar_c
 
     return sg, cg, call_fwd, call_bwd
 
@@ -328,7 +424,7 @@ def _get_fused_rendercore(sdf_cfg, color_cfg, tile_fwd: int,
     def _bwd(res, cots):
         Ws, bs, Wc, bc, x, dirs = res
         sbar, gbar, cbar = cots
-        xbar, dbar, wbar_s, bbar_s, wbar_c, bbar_c = call_bwd(
+        xbar, dbar, _, wbar_s, bbar_s, wbar_c, bbar_c = call_bwd(
             Ws, bs, Wc, bc, x, dirs, sbar, gbar, cbar)
         return (tuple(wbar_s), tuple(bbar_s), tuple(wbar_c), tuple(bbar_c),
                 xbar, dbar)
@@ -345,5 +441,69 @@ def _get_fused_rendercore(sdf_cfg, color_cfg, tile_fwd: int,
         return (sdf[:nrows].reshape(lead + (1,)),
                 grad[:nrows].reshape(lead + (sg.d_in,)),
                 color[:nrows].reshape(lead + (3,)))
+
+    return fn
+
+
+def get_fused_rendercore_cons(sdf_cfg, color_cfg,
+                              tile_fwd: int = DEFAULT_TILE_FWD,
+                              tile_bwd: int = DEFAULT_TILE_BWD,
+                              interpret: bool | None = None):
+    """Render-core + folded sdf-consistency re-query:
+    ``fn(params_sdf, params_color, x, dirs, y) ->
+    (sdf (...,1), grad (..., d_in), color (..., 3), sdf_w (...,))``.
+
+    ``y`` is the world-transformed pts_time batch (same rows as ``x``,
+    reference train.py:495-505): its value-only SDF query and first-order
+    backward run INSIDE the render-core launches, sharing weight residency
+    and the weight-gradient accumulation stream — removing the separate
+    value-kernel fwd+bwd launch pair that cost ~5.6 ms/step (round-4
+    ablation). ``y``'s cotangent flows to ``y_bar`` (pose-chain gradients
+    when sdf_consistency_enable_pose_grad).
+    """
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    return _get_fused_rendercore_cons(sdf_cfg, color_cfg, tile_fwd,
+                                      tile_bwd, interpret)
+
+
+@functools.lru_cache(maxsize=8)
+def _get_fused_rendercore_cons(sdf_cfg, color_cfg, tile_fwd: int,
+                               tile_bwd: int, interpret: bool):
+    sg, cg, call_fwd, call_bwd = _build(sdf_cfg, color_cfg, tile_fwd,
+                                        tile_bwd, interpret, with_cons=True)
+    ns, nc = sg.n_lin, cg.n_lin
+    tile = max(tile_fwd, tile_bwd)
+
+    @jax.custom_vjp
+    def _op(Ws, bs, Wc, bc, x, dirs, y):
+        return call_fwd(Ws, bs, Wc, bc, x, dirs, y)
+
+    def _fwd(Ws, bs, Wc, bc, x, dirs, y):
+        return (call_fwd(Ws, bs, Wc, bc, x, dirs, y),
+                (Ws, bs, Wc, bc, x, dirs, y))
+
+    def _bwd(res, cots):
+        Ws, bs, Wc, bc, x, dirs, y = res
+        sbar, gbar, cbar, swbar = cots
+        xbar, dbar, ybar, wbar_s, bbar_s, wbar_c, bbar_c = call_bwd(
+            Ws, bs, Wc, bc, x, dirs, sbar, gbar, cbar, y, swbar)
+        return (tuple(wbar_s), tuple(bbar_s), tuple(wbar_c), tuple(bbar_c),
+                xbar, dbar, ybar)
+
+    _op.defvjp(_fwd, _bwd)
+
+    def fn(params_sdf, params_color, x, dirs, y):
+        Ws, bs = _prep(params_sdf, ns)
+        Wc, bc = _prep_color(params_color, nc)
+        lead = x.shape[:-1]
+        xf, nrows = _pad_rows(x, tile)
+        df, _ = _pad_rows(dirs, tile)
+        yf, _ = _pad_rows(y, tile)
+        sdf, grad, color, sdf_w = _op(Ws, bs, Wc, bc, xf, df, yf)
+        return (sdf[:nrows].reshape(lead + (1,)),
+                grad[:nrows].reshape(lead + (sg.d_in,)),
+                color[:nrows].reshape(lead + (3,)),
+                sdf_w[:nrows, 0].reshape(lead))
 
     return fn

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.fields import (color_apply, nerf_apply, sdf_apply,
-                             sdf_grad_color, sdf_output_and_gradient,
+                             sdf_grad_color, sdf_grad_color_cons,
+                             sdf_output_and_gradient,
                              sdf_value,
                              sdf_value_nograd, sdf_with_gradient,
                              variance_inv_s)
@@ -91,9 +92,17 @@ def render_core_outside(nerf_cfg, nerf_params, rays_o, rays_d, z_vals,
 
 
 def render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step,
-                z_vals, sample_dist, cos_anneal_ratio, *, eval_depth: bool):
+                z_vals, sample_dist, cos_anneal_ratio, *, eval_depth: bool,
+                cons=None):
     """Reference ``render_core`` (:307-450): SDF -> alpha (NeuS eq. 13) ->
-    transmittance-weighted compositing of color/depth/normals."""
+    transmittance-weighted compositing of color/depth/normals.
+
+    ``cons``: optional ``(cw2 (4, 4), world_time scalar)`` — the
+    sdf-consistency world transform (reference train.py:495-505). When
+    given, the value-only SDF re-query at the transformed points is FOLDED
+    into the field-query kernel launch (one weight residency, one
+    gradient-accumulation stream) and returned as ``sdf_world``.
+    """
     batch_size, n_samples = z_vals.shape
 
     dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -111,9 +120,18 @@ def render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step,
     # through the normal path. On TPU sdf+gradient+color run as ONE Pallas
     # kernel (the 256-wide feature never leaves VMEM); elsewhere the
     # composed XLA ops serve as the oracle (models/fields.sdf_grad_color).
-    sdf, gradients, sampled_color = sdf_grad_color(
-        field_cfgs["sdf"], field_cfgs["color"], params["sdf"],
-        params["color"], pts_time, dirs)
+    sdf_world = None
+    if cons is not None:
+        cw2, world_time = cons
+        pts_world = pts @ cw2[:3, :3].T + cw2[:3, 3]
+        pts_world_time = _with_time(pts_world, world_time)
+        sdf, gradients, sampled_color, sdf_world = sdf_grad_color_cons(
+            field_cfgs["sdf"], field_cfgs["color"], params["sdf"],
+            params["color"], pts_time, dirs, pts_world_time)
+    else:
+        sdf, gradients, sampled_color = sdf_grad_color(
+            field_cfgs["sdf"], field_cfgs["color"], params["sdf"],
+            params["color"], pts_time, dirs)
     normals = gradients[..., :3]
     sdf_flows = gradients[..., 3:]
 
@@ -155,13 +173,15 @@ def render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step,
         "weights": weights,
         "cdf": prev_cdf[..., 0],
         "weight_sum": weights_sum,
+        **({"sdf_world": sdf_world.reshape(batch_size, n_samples)}
+           if sdf_world is not None else {}),
     }
 
 
 def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
            far, *, rcfg: RendererConfig, cos_anneal_ratio,
            use_importance: bool = True, train: bool = True,
-           key=None, t_rand=None, background_rgb=None):
+           key=None, t_rand=None, background_rgb=None, cons=None):
     """Full render pass (reference ``NeuSRenderer.forward``, :453-584).
 
     Static args: ``rcfg``, ``use_importance`` (the reference's
@@ -225,7 +245,7 @@ def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
 
     ret = render_core(field_cfgs, params, rays_o, rays_d, rays_d_norm,
                       time_step, z_vals, sample_dist, cos_anneal_ratio,
-                      eval_depth=not train)
+                      eval_depth=not train, cons=cons)
 
     weights = ret["weights"]
     if background_rgb is not None:
@@ -244,4 +264,5 @@ def render(field_cfgs, params, rays_o, rays_d, rays_d_norm, time_step, near,
         "sampled_points": ret["sampled_points"],
         "weights": weights,
         "mid_z_vals": ret["mid_z_vals"],
+        **({"sdf_world": ret["sdf_world"]} if "sdf_world" in ret else {}),
     }

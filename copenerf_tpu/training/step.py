@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.fields import motion_apply, sdf_scalar
+from ..models.fields import motion_apply
 from ..ops.interp import warp_pixels
 from ..ops.rays import rays_from_pixels
 from ..ops.renderer import RendererConfig, render
@@ -157,11 +157,27 @@ def compute_losses(field_cfgs: dict, rcfg: RendererConfig, s: StepStatic,
     near = jnp.full((n, 1), 1.0) * batch["near"]
     far = jnp.full((n, 1), 1.0) * batch["far"]
 
+    # The sdf-consistency world transform is computed BEFORE the render so
+    # its value-only SDF re-query can be FOLDED into the render-core kernel
+    # launch (shares weight residency + the gradient accumulation stream;
+    # replaces the separate value-kernel fwd+bwd that cost ~5.6 ms/step).
+    cons = None
+    w2c_all = inv_here = None
+    if s.stage1 and (s.use_flow_rgb or s.use_sdf_consistency):
+        w2c_all = full_video_w2c(field_cfgs["motion"], params["motion"],
+                                 s.n_images, s.nb_sample_timestep)
+        inv_here = se3_inverse(w2c_all[batch["image_idx"]])
+        if s.use_sdf_consistency:
+            cw2 = w2c_all[batch["world_cam_idx"]] @ inv_here
+            if not s.sdf_cons_pose_grad:
+                cw2 = jax.lax.stop_gradient(cw2)
+            cons = (cw2, batch["world_time_step"])
+
     out = render(field_cfgs, params, rays_o, rays_d, rays_d_norm,
                  batch["query_time_step"], near, far, rcfg=rcfg,
                  cos_anneal_ratio=batch["cos_anneal_ratio"],
                  use_importance=s.use_importance, train=True,
-                 key=key, t_rand=t_rand)
+                 key=key, t_rand=t_rand, cons=cons)
 
     w = batch["loss_weights"]
     rgb_loss = rgb_l1_loss(out["color_fine"], rgb_gt)
@@ -187,26 +203,13 @@ def compute_losses(field_cfgs: dict, rcfg: RendererConfig, s: StepStatic,
                                  out["sdf_flows"], weights_flat)
 
         if s.use_flow_rgb or s.use_sdf_consistency:
-            w2c_all = full_video_w2c(field_cfgs["motion"],
-                                     params["motion"], s.n_images,
-                                     s.nb_sample_timestep)
-            inv_here = se3_inverse(w2c_all[batch["image_idx"]])
             # Gate: the reference computes this block only when the ref
-            # list is non-empty (train.py:479).
+            # list is non-empty (train.py:479). w2c_all/inv_here computed
+            # above (before the render, for the folded consistency query).
             any_ref = jnp.max(batch["ref_in_list"]) > 0
 
             if s.use_sdf_consistency:
-                cw2 = w2c_all[batch["world_cam_idx"]] @ inv_here
-                if not s.sdf_cons_pose_grad:
-                    cw2 = jax.lax.stop_gradient(cw2)
-                pts_world = pts @ cw2[:3, :3].T + cw2[:3, 3]
-                pts_world_t = jnp.concatenate(
-                    [pts_world,
-                     jnp.full_like(pts_world[:, :1],
-                                   1.0) * batch["world_time_step"]],
-                    axis=-1)
-                sdf_w = sdf_scalar(field_cfgs["sdf"], params["sdf"],
-                                   pts_world_t)
+                sdf_w = out["sdf_world"].reshape(-1)
                 active = jnp.logical_and(
                     any_ref,
                     batch["image_idx"] != batch["world_cam_idx"])

@@ -281,6 +281,91 @@ def test_fused_rendercore_parity(setup):
                                    rtol=0, atol=5e-5)
 
 
+def test_fused_rendercore_cons_parity(setup):
+    """Render-core kernel with the FOLDED sdf-consistency re-query
+    (interpret) vs the composed oracle: the fourth output sdf_w, its
+    parameter gradients (accumulated into the same weight blocks) and its
+    y cotangent (pose-chain path) all match exactly."""
+    from copenerf_tpu.models import fields as F
+    from copenerf_tpu.ops.pallas.rendercore_kernels import \
+        get_fused_rendercore_cons
+
+    params, x = setup
+    _ops(jnp.float32)
+    ccfg = F.ColorConfig(d_feature=CFG.d_out - 1, d_in=11, d_hidden=48,
+                         n_layers=3, multires_view=4, weight_norm=True,
+                         squeeze_out=True)
+    cparams = F.color_init(jax.random.PRNGKey(7), ccfg)
+    dirs = jax.random.normal(jax.random.PRNGKey(8), (40, 3))
+    y = jax.random.normal(jax.random.PRNGKey(11), (40, 4)) * 0.7
+
+    fn = get_fused_rendercore_cons(CFG, ccfg, tile_fwd=8, tile_bwd=8,
+                                   interpret=True)
+
+    def oracle(ps, pc, xx, dd, yy):
+        out = sdf_apply(CFG, ps, xx)
+        _, g = sdf_with_gradient(CFG, ps, jax.lax.stop_gradient(xx))
+        c = F.color_apply(ccfg, pc, xx, g, dd, out[..., 1:])
+        sdf_w = sdf_apply(CFG, ps, yy)[..., 0]
+        return out[..., :1], g, c, sdf_w
+
+    outs_k = fn(params, cparams, x, dirs, y)
+    outs_r = oracle(params, cparams, x, dirs, y)
+    for a, b in zip(outs_k, outs_r):
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+
+    # Loss exercising every output incl. the consistency term
+    # |sdf_w - sdf| (its sdf side flows through the main value channel,
+    # its sdf_w side through the folded value-only backward).
+    def loss(quad):
+        s, g, c, sw = quad
+        return (jnp.mean(jnp.abs(s))
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1.0) ** 2)
+                + 0.2 * jnp.mean(g[..., 3] ** 2)
+                + jnp.sum(jnp.sin(3.0 * c))
+                + 0.7 * jnp.mean(jnp.abs(sw - s[..., 0])))
+
+    gk = jax.grad(lambda *a: loss(fn(*a)), argnums=(0, 1, 2, 3, 4))(
+        params, cparams, x, dirs, y)
+    gr = jax.grad(lambda *a: loss(oracle(*a)), argnums=(0, 1, 2, 3, 4))(
+        params, cparams, x, dirs, y)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=5e-5)
+
+
+def test_sdf_grad_color_cons_routing(setup):
+    """models.fields.sdf_grad_color_cons fused-on (interpret) == the
+    composed fallback (sdf_grad_color + sdf_scalar)."""
+    from copenerf_tpu.models import fields as F
+
+    params, x = setup
+    _ops(jnp.float32)
+    ccfg = F.ColorConfig(d_feature=CFG.d_out - 1, d_in=11, d_hidden=32,
+                         n_layers=2, multires_view=2, weight_norm=True,
+                         squeeze_out=True)
+    cparams = F.color_init(jax.random.PRNGKey(9), ccfg)
+    dirs = jax.random.normal(jax.random.PRNGKey(10), (40, 3))
+    y = jax.random.normal(jax.random.PRNGKey(12), (40, 4))
+
+    F.set_fused_sdf("on")
+    try:
+        fused = F.sdf_grad_color_cons(CFG, ccfg, params, cparams, x, dirs,
+                                      y)
+    finally:
+        F.set_fused_sdf("off")
+    try:
+        plain = F.sdf_grad_color_cons(CFG, ccfg, params, cparams, x, dirs,
+                                      y)
+    finally:
+        F.set_fused_sdf("auto")
+    for a, b in zip(fused, plain):
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+
+
 def test_sdf_grad_color_routing(setup):
     """models.fields.sdf_grad_color fused-on (interpret) == composed path;
     non-idr / negative-ray configs fall back to composition."""
