@@ -77,6 +77,36 @@ def main():
           f"fused rendercore(tf={args.tile_fwd},tb={args.tile_bwd}): "
           f"{ms_fused:8.2f} ms")
 
+    # Consistency re-query: separate value_diff launch pair (round-4 path)
+    # vs folded into the render-core launches (round 5).
+    from copenerf_tpu.ops.pallas.rendercore_kernels import \
+        get_fused_rendercore_cons
+
+    y = x * 0.9 + 0.05
+    value_diff = get_fused_ops(scfg, tile=512).value_diff
+    fused_cons = get_fused_rendercore_cons(scfg, ccfg,
+                                           tile_fwd=args.tile_fwd,
+                                           tile_bwd=args.tile_bwd,
+                                           interpret=False)
+
+    def loss_sep(ps, pc):
+        s, g, c = fused(ps, pc, x, dirs)
+        sw = value_diff(ps, y)
+        return (jnp.mean(jnp.abs(s)) + jnp.mean(g[..., 3] ** 2)
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1) ** 2)
+                + jnp.mean(c) + 0.5 * jnp.mean(jnp.abs(sw - s[..., 0])))
+
+    def loss_cons(ps, pc):
+        s, g, c, sw = fused_cons(ps, pc, x, dirs, y)
+        return (jnp.mean(jnp.abs(s)) + jnp.mean(g[..., 3] ** 2)
+                + jnp.mean((jnp.linalg.norm(g[..., :3], axis=-1) - 1) ** 2)
+                + jnp.mean(c) + 0.5 * jnp.mean(jnp.abs(sw - s[..., 0])))
+
+    ms_sep = time_fn(loss_sep)
+    ms_cons = time_fn(loss_cons)
+    print(f"n={n}  rendercore + separate value_diff: {ms_sep:8.2f} ms   "
+          f"folded cons kernel: {ms_cons:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
