@@ -19,6 +19,7 @@ autograd-inside-forward (:291-303).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import numpy as np
@@ -237,14 +238,22 @@ def sdf_grad_color_cons(sdf_cfg, color_cfg, params_sdf: dict,
     batch ``y`` (reference train.py:495-505) and returns it as a fourth
     output ``sdf_w (...,)``.
 
-    On TPU with fused kernels the whole thing is ONE Pallas launch pair:
-    the value query shares the render-core kernel's weight residency and
-    its weight-gradient accumulation stream, replacing the separate
-    value-kernel fwd+bwd that cost ~5.6 ms/step (round-4 ablation).
-    Elsewhere it composes the oracles (identical math).
+    Routing (v5e, measured — benchmarks/micro_rendercore.py): the fully
+    FOLDED single-launch variant (get_fused_rendercore_cons: value query
+    inside the render-core kernel, one weight residency, one gradient
+    accumulation stream) is NET-NEGATIVE on this generation — 19.8-21.6 ms
+    vs 19.5 ms for render-core kernel + separate value_diff kernel at
+    131k pts fwd+bwd across the (256..512)^2 tile grid: the extra
+    activation stacks inflate the backward's VMEM working set more than
+    the saved launch costs. The composition below therefore routes each
+    piece to its own fused kernel (sdf_grad_color -> render-core kernel,
+    sdf_scalar -> value_diff kernel); set COPENERF_FOLD_CONS=1 to use the
+    folded kernel (kept tested for future hardware where the tradeoff may
+    flip). On non-TPU backends everything composes to the XLA oracle.
     """
     if (fused_sdf_enabled() and color_cfg.mode == "idr"
-            and not color_cfg.use_negative_ray_vector):
+            and not color_cfg.use_negative_ray_vector
+            and os.environ.get("COPENERF_FOLD_CONS") == "1"):
         from ..ops.pallas.rendercore_kernels import get_fused_rendercore_cons
         return get_fused_rendercore_cons(sdf_cfg, color_cfg)(
             params_sdf, params_color, x, dirs, y)
