@@ -181,3 +181,86 @@ def test_scaled_batch_keeps_per_ray_semantics():
     cos = np.dot(flat_big, flat_avg) / (
         np.linalg.norm(flat_big) * np.linalg.norm(flat_avg) + 1e-12)
     assert cos > 0.98, cos
+
+
+# ----------------------------------------------------------------------
+# Round-5 micro-optimizations: exactness guards. Neither path is reached
+# by the tiny-image suites above (the two-stage top-k only activates for
+# populations > 2048; flat-buffer Adam is exercised end-to-end but its
+# equivalence to per-leaf Adam deserves a direct witness).
+
+def test_two_stage_topk_matches_global_topk():
+    """_flat_topk_indices == lax.top_k as a SET, incl. the padded tail and
+    the protocol-scale population (540x960 patch corners -> 513,909)."""
+    from copenerf_tpu.training.step import _flat_topk_indices
+
+    key = jax.random.PRNGKey(7)
+    cases = [
+        (513_909, 64),   # real 540x960 / ps=4 protocol population (pad path)
+        (4096, 64),      # exact multiple of the 1024-column block
+        (4097, 64),      # one-element last row
+        (3000, 7),       # small k, padded
+        (2049, 1),       # just past the fallback threshold
+        (2048, 64),      # fallback: n <= 2*cols
+        (1500, 64),      # fallback: small population
+        (5000, 1500),    # fallback: k > cols
+    ]
+    for n, k in cases:
+        z = jax.random.uniform(jax.random.fold_in(key, n * 131 + k), (n,))
+        got = np.asarray(_flat_topk_indices(z, k))
+        want = np.asarray(jax.lax.top_k(z, k)[1])
+        assert got.shape == want.shape == (k,), (n, k)
+        assert set(got.tolist()) == set(want.tolist()), (n, k)
+
+
+def test_patch_sampling_protocol_scale_valid():
+    """sample_patch_indices at the REAL image scale (exercises the
+    two-stage top-k branch): every flat index in range, patches
+    non-overlapping corners, exact count."""
+    h, w, ps, n_points = 540, 960, 4, 1024
+    idx = np.asarray(sample_patch_indices(jax.random.PRNGKey(3), h, w, ps,
+                                          n_points))
+    assert idx.shape == (n_points,)
+    assert idx.min() >= 0 and idx.max() < h * w
+    corners = idx.reshape(-1, ps * ps)[:, 0]
+    assert len(set(corners.tolist())) == n_points // (ps * ps)
+    # Each patch is a contiguous ps x ps block below/right of its corner.
+    rows, cols = idx // w, idx % w
+    r0 = np.repeat(corners // w, ps * ps)
+    c0 = np.repeat(corners % w, ps * ps)
+    assert ((rows - r0) >= 0).all() and ((rows - r0) < ps).all()
+    assert ((cols - c0) >= 0).all() and ((cols - c0) < ps).all()
+
+
+def test_flat_adam_matches_per_leaf_adam():
+    """Adam is elementwise, so one fused update over a raveled buffer must
+    equal the per-leaf pytree update — for several steps (bias-correction
+    count included)."""
+    from jax.flatten_util import ravel_pytree
+
+    from copenerf_tpu.training.step import make_optimizers
+
+    tx = make_optimizers()
+    rng = np.random.RandomState(11)
+    params = {
+        "a": jnp.asarray(rng.randn(3, 5).astype(np.float32)),
+        "b": {"w": jnp.asarray(rng.randn(8).astype(np.float32)),
+              "g": jnp.asarray(rng.randn(1).astype(np.float32))},
+    }
+    st_tree = tx.init(params)
+    pflat, unravel = ravel_pytree(params)
+    st_flat = tx.init(pflat)
+    params_tree, params_flat = params, pflat
+    for step in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.cos(p * (step + 1)) * 0.1, params_tree)
+        u_tree, st_tree = tx.update(grads, st_tree, params_tree)
+        params_tree = jax.tree_util.tree_map(lambda p, u: p - 1e-2 * u,
+                                             params_tree, u_tree)
+        gflat, _ = ravel_pytree(grads)
+        u_flat, st_flat = tx.update(gflat, st_flat, params_flat)
+        params_flat = params_flat - 1e-2 * u_flat
+    for a, b in zip(jax.tree_util.tree_leaves(params_tree),
+                    jax.tree_util.tree_leaves(unravel(params_flat))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
