@@ -61,6 +61,27 @@ def initialize(coordinator_address: str | None = None,
         _initialized = True
 
 
+def barrier(name: str = "copenerf-barrier") -> None:
+    """Fail-fast collective barrier over all processes (no-op single-process).
+
+    Run once right after :func:`initialize`, before any heavy compile. Two
+    jobs: (1) verify the collective fabric end-to-end before hours of
+    training are queued behind it; (2) establish the CPU Gloo communicator
+    for the all-device clique while inter-process skew is still seconds.
+    Gloo exchanges peer addresses under a fixed 30 s KV-store deadline
+    (``GetKeyValue() timed out``), and the FIRST collective otherwise races
+    that deadline against the per-process compile of the big train step —
+    observed as a DEADLINE_EXCEEDED mid-epoch in the 2-process endurance
+    test under CPU contention. The communicator is cached per device
+    clique, so the train step's gradient all-reduce (same global device
+    set) reuses it.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def is_primary() -> bool:
     """True on the process that should log / write checkpoints."""
     return jax.process_index() == 0

@@ -59,6 +59,11 @@ class Trainer:
             from ..parallel import distributed as _dist
 
             _dist.initialize()
+            # Fail fast on a broken fabric AND pre-establish the Gloo/ICI
+            # collective context before the heavy train-step compile (its
+            # absence makes the first collective race Gloo's 30 s address
+            # -exchange deadline against per-process compile skew).
+            _dist.barrier("trainer-init")
         self.seed = tr["seed"]
         np.random.seed(self.seed)
         self._base_key = jax.random.PRNGKey(self.seed)

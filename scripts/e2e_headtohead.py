@@ -86,9 +86,16 @@ TINY = {
 N_FRAMES, RES_H, RES_W = 16, 44, 64
 
 
-def write_cfg(root, base, name, out_dir):
+def write_cfg(root, base, name, out_dir, seed=None):
     import yaml
 
+    training = dict(
+        SCHEDULE, out_dir=out_dir,
+        resolution=[RES_H, RES_W],
+        original_resolution=[RES_H, RES_W],
+        vis_resolution=[12, 16])
+    if seed is not None:
+        training["seed"] = int(seed)
     path = os.path.join(root, f"cfg_{os.path.basename(out_dir)}.yaml")
     with open(path, "w") as f:
         yaml.safe_dump({
@@ -97,11 +104,7 @@ def write_cfg(root, base, name, out_dir):
                 "n_workers": 0, "shuffle": False, "load_gt_depth": True,
                 "sample_rate": 8, "crop_size": 0,
             },
-            "training": dict(
-                SCHEDULE, out_dir=out_dir,
-                resolution=[RES_H, RES_W],
-                original_resolution=[RES_H, RES_W],
-                vis_resolution=[12, 16]),
+            "training": training,
             **TINY,
         }, f)
     return path
@@ -129,7 +132,7 @@ def seeded_lpips_weights():
     return feats, heads
 
 
-def run_reference(root, base, name, feats, heads):
+def run_reference(root, base, name, feats, heads, seed=0):
     import conftest
 
     conftest.add_reference_to_path()
@@ -170,7 +173,7 @@ def run_reference(root, base, name, feats, heads):
 
     ref_lpips_mod.get_state_dict = fake_get_state_dict
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     t0 = time.time()
     trainer = ref_train.Trainer(cfg)
     trainer.device = "cpu"
@@ -235,7 +238,7 @@ def run_reference(root, base, name, feats, heads):
     return result
 
 
-def run_ours(root, base, name, feats, heads):
+def run_ours(root, base, name, feats, heads, seed=None):
     import numpy as np
 
     from copenerf_tpu.config.loader import load_config
@@ -254,7 +257,7 @@ def run_ours(root, base, name, feats, heads):
     os.environ["COPENERF_LPIPS_LIN"] = lin_npz
 
     out_dir = os.path.join(root, "our_out")
-    cfg = load_config(write_cfg(root, base, name, out_dir))
+    cfg = load_config(write_cfg(root, base, name, out_dir, seed=seed))
     t0 = time.time()
     trainer = Trainer(cfg, verbose=True)
     init_path = os.path.join(root, "ref_init.npz")
@@ -294,6 +297,13 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_E2E.md"))
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="Run-to-run noise band: seed the reference's torch "
+                         "init/training RNG and our training.seed (ours "
+                         "shifted +1000 so the two streams stay "
+                         "independent). Default keeps the original run "
+                         "(torch 0, ours config default 678). Use a "
+                         "distinct --root per seed.")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -307,14 +317,17 @@ def main():
     cache = os.path.join(args.root, "results.json")
     if os.path.isfile(cache):
         results = json.load(open(cache))
+    ref_seed = 0 if args.seed is None else args.seed
+    our_seed = None if args.seed is None else args.seed + 1000
     if not args.skip_reference and "reference" not in results:
         print("=== running REFERENCE end-to-end ===", flush=True)
         results["reference"] = run_reference(args.root, base, name, feats,
-                                             heads)
+                                             heads, seed=ref_seed)
         json.dump(results, open(cache, "w"), indent=1)
     if not args.skip_ours and "ours" not in results:
         print("=== running OURS end-to-end ===", flush=True)
-        results["ours"] = run_ours(args.root, base, name, feats, heads)
+        results["ours"] = run_ours(args.root, base, name, feats, heads,
+                                   seed=our_seed)
         json.dump(results, open(cache, "w"), indent=1)
 
     lines = [
