@@ -4,6 +4,12 @@ Numpy re-implementations of ``/root/reference/dataloading/common.py``:
 ``recenter_poses`` (:147-159), ``spherify_poses`` (:180-236), and the
 ``poses_bounds.npy`` unpacking of ``_load_data`` (:59-146). Image minification
 uses cv2 in-process instead of shelling out to ImageMagick ``mogrify``.
+
+Attribution: ``poses_avg``/``recenter_poses``/``spherify_poses`` are the
+convention-DEFINING math of the LLFF ``poses_bounds.npy`` format (derived
+from bmild/LLFF ``llff/poses/pose_utils.py``, vendored by nope-nerf and
+cope-nerf); any loader of this format must reproduce these formulas exactly
+or the recovered camera frames disagree with every published checkpoint.
 """
 
 from __future__ import annotations

@@ -148,6 +148,27 @@ def init_train_state(params: dict) -> dict:
     }
 
 
+def migrate_train_state(state: dict) -> dict:
+    """Upgrade a loaded checkpoint's optimizer states in place.
+
+    Pre-flat-buffer checkpoints stored the Adam moments as per-leaf pytrees
+    (one small array per weight tensor); ``init_train_state`` now keeps ONE
+    flat vector per optimizer. The moment trees have exactly the structure
+    of the corresponding params subtree, so raveling them in tree-leaves
+    order matches ``ravel_pytree``'s layout elementwise — the migrated
+    state continues bit-identically. New-format states pass through
+    untouched."""
+    from jax.flatten_util import ravel_pytree
+
+    for key in ("opt_fields", "opt_motion"):
+        st = state.get(key)
+        if (isinstance(st, (tuple, list)) and len(st) == 3
+                and isinstance(st[1], dict)):
+            state[key] = (st[0], ravel_pytree(st[1])[0],
+                          ravel_pytree(st[2])[0])
+    return state
+
+
 def compute_losses(field_cfgs: dict, rcfg: RendererConfig, s: StepStatic,
                    params: dict, batch: dict, ray_idx, key=None, t_rand=None,
                    mesh=None):

@@ -114,6 +114,11 @@ class Trainer:
         try:
             state, scalars = load_checkpoint(
                 self.out_dir, model_only=tr["load_ckpt_model_only"])
+            # Pre-flat-buffer checkpoints: per-leaf Adam moments -> one
+            # flat vector per optimizer (bit-identical continuation).
+            from .step import migrate_train_state
+
+            state = migrate_train_state(state)
             # npz storage flattens optax NamedTuple states to plain tuples;
             # restore the exact pytree structure from a fresh state.
             fresh = init_train_state(state["params"])

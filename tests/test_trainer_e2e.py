@@ -125,3 +125,58 @@ def test_check_sentinels():
     assert check_params(bad) == ["['a']"]
     assert not check_tensor(np.ones(3), "x")
     assert check_tensor(np.array([np.inf]), "y")
+
+
+def test_old_per_leaf_adam_checkpoint_migrates(scene, tmp_path):
+    """Pre-flat-buffer checkpoints stored Adam moments as per-leaf pytrees;
+    init_train_state now keeps ONE flat vector per optimizer. A trainer
+    resuming from the old format must continue BIT-identically via
+    migrate_train_state (ravel in tree-leaves order == ravel_pytree's
+    layout) and then train normally."""
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from copenerf_tpu.training.checkpoints import save_checkpoint
+
+    path, name = scene
+    out_dir = str(tmp_path / "out_migrate")
+    cfg = _tiny_cfg(path, name, out_dir)
+    t1 = Trainer(cfg, verbose=False)
+    params = t1.state["params"]
+    fields = {k: params[k] for k in ("sdf", "color", "variance")}
+    rng = np.random.RandomState(5)
+
+    def noise_like(tree):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.asarray(np.asarray(rng.rand(*p.shape),
+                                             np.float32)),
+            tree)
+
+    old_state = {
+        "params": params,
+        "opt_fields": (jnp.asarray(17, jnp.int32), noise_like(fields),
+                       noise_like(fields)),
+        "opt_motion": (jnp.asarray(17, jnp.int32),
+                       noise_like({"motion": params["motion"]}),
+                       noise_like({"motion": params["motion"]})),
+    }
+    save_checkpoint(out_dir, old_state, {"epoch_it": 1, "it": 41})
+
+    t2 = Trainer(cfg, verbose=False)
+    assert t2.checkpoint_loaded and t2.it == 41
+    count, mu, nu = t2.state["opt_fields"]
+    assert mu.ndim == 1  # migrated to the flat-buffer format
+    assert int(count) == 17
+    np.testing.assert_array_equal(
+        np.asarray(mu), np.asarray(ravel_pytree(old_state["opt_fields"][1])[0]))
+    np.testing.assert_array_equal(
+        np.asarray(nu), np.asarray(ravel_pytree(old_state["opt_fields"][2])[0]))
+    mu_m = t2.state["opt_motion"][1]
+    assert mu_m.ndim == 1
+    np.testing.assert_array_equal(
+        np.asarray(mu_m),
+        np.asarray(ravel_pytree(old_state["opt_motion"][1])[0]))
+    # The migrated state trains (flat tx.update accepts it).
+    t2.train(max_epochs=2)
+    assert t2.epoch_it >= 1
