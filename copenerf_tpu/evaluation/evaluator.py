@@ -170,10 +170,16 @@ class Evaluator(Trainer):
         pose_params, init_c2w = self.pose_retriever_test
         test_poses = np.asarray(pose_retriever_all(pose_params, init_c2w))
         gt_imgs, gt_depths, preds = [], [], []
+        params = self.state["params"]
+        if jax.process_count() > 1:
+            # One host localization for all test views (see
+            # trainer.render_train_views); per-call conversion is a no-op
+            # on numpy leaves.
+            params = jax.tree_util.tree_map(np.asarray, params)
         for pos, target in enumerate(self.test_field.i_test):
             target = int(target)
             res = self.image_renderer.render_image(
-                self.state["params"], self.test_field.K[target],
+                params, self.test_field.K[target],
                 test_poses[pos], np.eye(4, dtype=np.float32),
                 self.world_time_step, (self.h, self.w), self.depth_range,
                 1.0)

@@ -136,9 +136,12 @@ class Trainer:
             self._log("No checkpoint found ==> train from scratch")
 
         self.lr_state = LRState(tr)
-        # One writer per multi-host job (same gating as checkpoints).
-        self.logger = ScalarLogger(self.out_dir,
-                                   enabled=(jax.process_index() == 0))
+        # One writer per multi-host job: every file artifact (scalars,
+        # checkpoints, refine_pose.npz, rendered pngs/npzs) is written by
+        # process 0 only — concurrent writers to the shared out_dir can
+        # interleave and corrupt files (np.savez is not atomic).
+        self.io_primary = jax.process_index() == 0
+        self.logger = ScalarLogger(self.out_dir, enabled=self.io_primary)
         from ..utils.profiling import StepTimer
 
         self.step_timer = StepTimer(
@@ -352,19 +355,28 @@ class Trainer:
         os.makedirs(idir, exist_ok=True)
         depths = []
         car = cos_anneal_ratio(self.it, self.anneal_end)
+        params = self.state["params"]
+        if jax.process_count() > 1:
+            # Localize global-mesh params to host ONCE for the whole loop;
+            # render_image's own per-call conversion is then a no-op on
+            # numpy leaves (it would otherwise fetch all weights per view).
+            params = jax.tree_util.tree_map(np.asarray, params)
         for pos, target in enumerate(self.train_field.i_train):
             target = int(target)
             res = self.image_renderer.render_image(
-                self.state["params"], self.train_field.K[target],
+                params, self.train_field.K[target],
                 np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32),
                 self.time_of(target), (self.h, self.w), self.depth_range,
                 car)
             depth = res["depth"]
             depths.append(depth)
-            np.savez(os.path.join(ddir, f"depth_{str(target).zfill(6)}.npz"),
-                     pred=depth)
-            self._save_image(os.path.join(idir, f"{str(target).zfill(6)}.png"),
-                             res["color"])
+            if self.io_primary:  # all processes need depths; one writes
+                np.savez(
+                    os.path.join(ddir, f"depth_{str(target).zfill(6)}.npz"),
+                    pred=depth)
+                self._save_image(
+                    os.path.join(idir, f"{str(target).zfill(6)}.png"),
+                    res["color"])
         return np.stack(depths)
 
     @staticmethod
@@ -426,8 +438,10 @@ class Trainer:
                       pred_poses[world_pos][None]).astype(np.float32)
         params_r, init_c2w = pose_retriever_init(m, init_c2w=pred_poses)
         self.pose_retriever = (params_r, init_c2w)
-        save_pytree(os.path.join(self.out_dir, "models", "refine_pose.npz"),
-                    {"init_c2w": np.asarray(init_c2w)})
+        if self.io_primary:  # every process holds the poses; one writes
+            save_pytree(
+                os.path.join(self.out_dir, "models", "refine_pose.npz"),
+                {"init_c2w": np.asarray(init_c2w)})
         self._log(f"Start querying in canonical space at epoch {epoch_it}")
 
     def _load_refine_pose(self):
@@ -461,29 +475,33 @@ class Trainer:
             np.eye(4, dtype=np.float32), query_t, vis_res, self.depth_range,
             cos_anneal_ratio(self.it, self.anneal_end), want_pts=want_flow)
 
-        out_dir = os.path.join(self.render_path, f"{self.it:04d}_vis")
-        os.makedirs(out_dir, exist_ok=True)
-        if want_flow:
-            try:
-                flow_img = self._flow_visualization(res, target, vis_res)
-                self._save_image(
-                    os.path.join(out_dir, f"{target:04d}_flow.png"), flow_img)
-            except Exception as e:
-                self._log(f"flow vis failed: {e}")
-        disp = 1.0 / np.maximum(res["depth"], 1e-6)
-        disp = disp / max(disp.max(), 1e-6)
-        self._save_image(os.path.join(out_dir, f"{target:04d}_img.png"),
-                         res["color"])
-        self._save_image(os.path.join(out_dir, f"{target:04d}_disparity.png"),
-                         disp)
-        normal_img = np.clip(res["normal"] * 0.5 + 0.5, 0, 1)
-        self._save_image(os.path.join(out_dir, f"{target:04d}_normal.png"),
-                         normal_img)
-        disp_hw = 1.0 / np.maximum(res["depth_highest"], 1e-6)
-        disp_hw = disp_hw / max(disp_hw.max(), 1e-6)
-        self._save_image(
-            os.path.join(out_dir, f"{target:04d}_disparity_highest_weight.png"),
-            disp_hw)
+        if self.io_primary:  # one writer; the depth-range update below
+            # must still run on EVERY process (it feeds near/far).
+            out_dir = os.path.join(self.render_path, f"{self.it:04d}_vis")
+            os.makedirs(out_dir, exist_ok=True)
+            if want_flow:
+                try:
+                    flow_img = self._flow_visualization(res, target, vis_res)
+                    self._save_image(
+                        os.path.join(out_dir, f"{target:04d}_flow.png"),
+                        flow_img)
+                except Exception as e:
+                    self._log(f"flow vis failed: {e}")
+            disp = 1.0 / np.maximum(res["depth"], 1e-6)
+            disp = disp / max(disp.max(), 1e-6)
+            self._save_image(os.path.join(out_dir, f"{target:04d}_img.png"),
+                             res["color"])
+            self._save_image(
+                os.path.join(out_dir, f"{target:04d}_disparity.png"), disp)
+            normal_img = np.clip(res["normal"] * 0.5 + 0.5, 0, 1)
+            self._save_image(
+                os.path.join(out_dir, f"{target:04d}_normal.png"), normal_img)
+            disp_hw = 1.0 / np.maximum(res["depth_highest"], 1e-6)
+            disp_hw = disp_hw / max(disp_hw.max(), 1e-6)
+            self._save_image(
+                os.path.join(out_dir,
+                             f"{target:04d}_disparity_highest_weight.png"),
+                disp_hw)
 
         # Adaptive depth range (model/training.py:339-355).
         depth_bound_lr = 0.0
@@ -560,6 +578,8 @@ class Trainer:
     def vis_pose_2d(self, aligned_pred_pose: np.ndarray):
         """XY scatter of predicted vs GT camera centers
         (reference train.py:222-233)."""
+        if not self.io_primary:
+            return
         try:
             import matplotlib
 
@@ -761,7 +781,7 @@ class Trainer:
         self.logger.flush()
 
     def save_checkpoint(self):
-        if jax.process_index() != 0:  # one writer per multi-host job
+        if not self.io_primary:  # one writer per multi-host job
             return
         scalars = {"epoch_it": self.epoch_it, "it": self.it,
                    "depth_range": list(map(float, self.depth_range))}

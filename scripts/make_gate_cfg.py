@@ -17,7 +17,11 @@ import sys
 import yaml
 
 
-def load_yaml(path):
+def load_yaml(path, required=True):
+    if not required and not os.path.isfile(path):
+        print(f"warning: {path} not found; scaling only keys present in "
+              "the scene yaml", file=sys.stderr)
+        return {}
     with open(path) as f:
         return yaml.safe_load(f) or {}
 
@@ -47,9 +51,10 @@ def main():
 
     s = args.schedule_scale
     if s != 1.0:
-        defaults = load_yaml(os.path.join(
+        default_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(args.ref_cfg))),
-            "default.yaml"))
+            "default.yaml")
+        defaults = load_yaml(default_path, required=False)
         dtr = defaults.get("training", {})
 
         def get(key):
@@ -84,7 +89,15 @@ def main():
         es = args.eval_pose_scale if args.eval_pose_scale is not None else s
         base_eval = ev.get("eval_pose_epoch", 300)
         ev["eval_pose_epoch"] = max(int(base_eval * es), 10)
-        # Keep stage-2 start strictly inside the window.
+        # Keep stage-2 start strictly inside the window. Both keys exist
+        # after scale_int for any config derived from the reference's
+        # two-layer scheme; a standalone yaml missing them (and with no
+        # sibling default.yaml) gets a clear error, not a KeyError.
+        if get("scheduling_start") is None or get("scheduling_epoch") is None:
+            sys.exit(f"error: scheduling_start/scheduling_epoch missing "
+                     f"from {args.ref_cfg} and {default_path}; cannot "
+                     "rescale the schedule (pass --schedule-scale 1.0 or "
+                     "add the keys)")
         end = tr["scheduling_start"] + tr["scheduling_epoch"]
         if tr.get("start_query_world_epoch", 0) >= end:
             tr["start_query_world_epoch"] = max(end - 2, 1)

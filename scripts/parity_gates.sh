@@ -28,6 +28,12 @@ set -euo pipefail
 DATA_ROOT=${1:?usage: parity_gates.sh <data_root> [out_root] [scale]}
 OUT_ROOT=${2:-out/parity_gates}
 SCALE=${3:-0.02}
+# Absolutize both roots: the train/eval invocations below cd into the
+# reference checkout (and into $REPO), so every path baked into the gate
+# configs — and the cfg paths themselves — must survive a cwd change.
+DATA_ROOT=$(cd "$DATA_ROOT" && pwd)
+mkdir -p "$OUT_ROOT"
+OUT_ROOT=$(cd "$OUT_ROOT" && pwd)
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 REFERENCE=${REFERENCE_ROOT:-/root/reference}
 RUN_REFERENCE=${RUN_REFERENCE:-1}

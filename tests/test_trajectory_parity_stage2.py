@@ -142,8 +142,8 @@ EVAL_OVERRIDES = {
     "eval_pose_scheduler_gamma": 0.5,
 }
 
-PATCH4_PERM_N = (RES_H - 4 + 1) * (RES_W - 4 + 1)   # 2745
-PATCH1_PERM_N = RES_H * RES_W                        # 3072
+PATCH4_PERM_N = (RES_H - 4 + 1) * (RES_W - 4 + 1)   # 41*61 = 2501
+PATCH1_PERM_N = RES_H * RES_W                        # 44*64 = 2816
 
 
 def _ray_idx_from_perm(perm, h, w, patch_size, n_points):
